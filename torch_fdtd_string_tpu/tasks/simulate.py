@@ -1,0 +1,537 @@
+"""Dataset-generation task: batched string simulation + artifact writing.
+
+TPU-native counterpart of reference ``src/task/simulate.py``: parameter
+sampling on host (``core/params.py``), a jitted ``lax.scan`` chunk loop on
+the accelerator (``core/engine.py``), and the reference's artifact contract
+on disk (``output{,-u,-z}.wav``, ``simulation.npz``, ``string_params.npz``,
+``hammer_params.npz``, ``bow_params.npz``, ``simulation_config.yaml``,
+``{cpu,gpu,tpu}_time.txt``).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import numpy as np
+
+try:
+    import tqdm as _tqdm
+
+    def _progress(it, desc):
+        bar = _tqdm.tqdm(it)
+        bar.set_description(desc)
+        return bar
+
+except ImportError:  # pragma: no cover
+
+    def _progress(it, desc):
+        return it
+
+
+from ..core import params as prm
+from ..core.engine import (
+    BowParams,
+    Carry,
+    HammerParams,
+    SimConsts,
+    StringParams,
+    simulate_chunk,
+)
+from ..ops import fdm
+from ..utils import audio
+from ..utils import misc as ms
+from ..utils import wav as wavio
+
+
+def _to_device(tree, device):
+    import jax
+
+    return jax.tree.map(lambda x: jax.device_put(x, device), tree)
+
+
+def process(
+    state,
+    bow,
+    hammer,
+    bow_mask,
+    hammer_mask,
+    consts: SimConsts,
+    Nt,
+    chunk_size,
+    device=None,
+    save_path=None,
+    sr=48000,
+    skip_nan=True,
+    collect_state=True,
+):
+    """Chunked time loop (reference simulate.py:16-119).
+
+    The reference re-feeds the last two state rows of each chunk as the first
+    two of the next (2-sample overlap, simulate.py:57-107); the scan carry
+    implements the same recursion directly.  Returns numpy outputs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.float64 if state.u0.dtype == np.float64 else jnp.float32
+    B = state.u0.shape[0]
+    M_t, M_l = consts.M_t, consts.M_l
+
+    u1_init, u2_init = fdm.initialize_state_rows(state.u0, state.v0, consts.k)
+    carry = Carry(
+        u1=jnp.asarray(u1_init, dtype),
+        u2=jnp.asarray(u2_init, dtype),
+        z1=jnp.zeros((B, M_l), dtype),
+        z2=jnp.zeros((B, M_l), dtype),
+        uH1=jnp.asarray(hammer.u_H[:, 1], dtype),
+        uH2=jnp.asarray(hammer.u_H[:, 0], dtype),
+    )
+    sp = StringParams(
+        kappa=jnp.asarray(state.kappa, dtype),
+        alpha=jnp.asarray(state.alpha, dtype),
+        p_a=jnp.asarray(state.p_a, dtype),
+        f0=jnp.asarray(state.f0, dtype),
+        pos=jnp.asarray(state.pos, dtype),
+        T60=jnp.asarray(state.T60, dtype),
+    )
+    bp = BowParams(
+        x_b=jnp.asarray(bow.x_b, dtype),
+        v_b=jnp.asarray(bow.v_b, dtype),
+        F_b=jnp.asarray(bow.F_b, dtype),
+        phi_0=jnp.asarray(bow.phi_0, dtype),
+        phi_1=jnp.asarray(bow.phi_1, dtype),
+        wid=jnp.asarray(bow.wid, dtype),
+    )
+    hp = HammerParams(
+        x_H=jnp.asarray(hammer.x_H, dtype),
+        w_H=jnp.asarray(hammer.w_H, dtype),
+        M_r=jnp.asarray(hammer.M_r, dtype),
+        alpha=jnp.asarray(hammer.alpha, dtype),
+    )
+    bmask = jnp.asarray(bow_mask)
+    hmask = jnp.asarray(hammer_mask)
+    if device is not None:
+        carry, sp, bp, hp, bmask, hmask = _to_device(
+            (carry, sp, bp, hp, bmask, hmask), device
+        )
+
+    outs = []
+    np_dt = np.float64 if dtype == jnp.float64 else np.float32
+    state_rows_u = [
+        np.asarray(u2_init, np_dt)[:, None, :],
+        np.asarray(u1_init, np_dt)[:, None, :],
+    ]
+    state_rows_z = [np.zeros((B, 1, M_l), np_dt), np.zeros((B, 1, M_l), np_dt)]
+    # chunk boundaries over global steps 2..Nt-1 (reference advances
+    # cn += chunk_size - 2 per chunk)
+    starts = list(range(2, Nt, max(chunk_size - 2, 1)))
+    wrote = 0
+    for cs in starts:
+        ce = min(cs + chunk_size - 2, Nt)
+        if ce <= cs:
+            break
+        steps = jnp.arange(cs, ce, dtype=jnp.int32)
+        carry, out = simulate_chunk(carry, steps, sp, bp, hp, bmask, hmask, consts)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        outs.append(out)
+        if collect_state:
+            state_rows_u.append(out.pop("u").transpose(1, 0, 2))
+            state_rows_z.append(out.pop("z").transpose(1, 0, 2))
+        if skip_nan is False:
+            bad = np.isnan(out["uout"]).any(axis=0)
+            assert not bad.any(), np.nonzero(bad)
+        if save_path is not None:
+            uout = np.concatenate([o["uout"] for o in outs], axis=0).T  # (B, T)
+            zout = np.concatenate([o["zout"] for o in outs], axis=0).T
+            nan_b = np.isnan(uout.sum(-1))
+            for b in range(B):
+                if nan_b[b]:
+                    continue
+                d = f"{save_path}-{b}"
+                os.makedirs(d, exist_ok=True)
+                wavio.write(f"{d}/output-u.wav", uout[b], sr, "PCM_16")
+                wavio.write(f"{d}/output-z.wav", zout[b], sr, "PCM_16")
+                wavio.write(f"{d}/output.wav", uout[b] + zout[b], sr, "PCM_16")
+        wrote = ce
+
+    cat = lambda key: np.concatenate([o[key] for o in outs], axis=0).T  # (B, T)
+    uout = cat("uout")
+    zout = cat("zout")
+    v_r = cat("v_r")
+    F_H = cat("F_H")
+    u_H = cat("u_H") / consts.k  # reference divides by k on return (simulator.cpp:57)
+    sig0 = outs[-1]["sig0"][-1]
+    sig1 = outs[-1]["sig1"][-1]
+    if collect_state:
+        state_u = np.concatenate(state_rows_u, axis=1)
+        state_z = np.concatenate(state_rows_z, axis=1)
+    else:
+        state_u = state_z = None
+    return uout, zout, state_u, state_z, v_r, F_H, u_H, sig0, sig1
+
+
+def simulate(
+    model_name,
+    sr,
+    theta_t,
+    length,
+    batch_size,
+    f0_inf,
+    alpha_inf,
+    lambda_c,
+    cpu=False,
+    load_config=None,
+    chunk_length=-1,
+    save_path=None,
+    string_kwargs=None,
+    hammer_kwargs=None,
+    bow_kwargs=None,
+    skip_nan=True,
+    precision="single",
+    relative_order=4,
+    surface_integral=False,
+    randomize_each="batch",
+    manufactured=False,
+    rng=None,
+    collect_state=True,
+):
+    """Build instruments + run the simulation (reference simulate.py:121-217)."""
+    import jax
+
+    rng = rng or np.random.default_rng()
+    k = 1.0 / sr
+    total_size = int(length * sr)
+    chunk_size = total_size if chunk_length < 0 else int(chunk_length * sr)
+    chunk_size = max(chunk_size, 3)
+
+    pluck_batch = (
+        True if model_name.endswith("pluck") else None if model_name == "random" else False
+    )
+    bow_mask, hammer_mask = prm.get_masks(rng, model_name, batch_size)
+    pluck_mask = ~(bow_mask | hammer_mask)
+
+    string = prm.sample_string(
+        rng,
+        k=k,
+        theta_t=theta_t,
+        lambda_c=lambda_c,
+        sr=sr,
+        length=length,
+        f0_inf=f0_inf,
+        alpha_inf=alpha_inf,
+        batch_size=batch_size,
+        precision=precision,
+        pluck_batch=pluck_batch,
+        pluck_mask=pluck_mask,
+        hammer_mask=hammer_mask,
+        randomize_each=randomize_each,
+        manufactured=manufactured,
+        **(string_kwargs or {}),
+    )
+    bow = prm.sample_bow(
+        rng,
+        sr=sr,
+        length=length,
+        batch_size=batch_size,
+        precision=precision,
+        randomize_each=randomize_each,
+        **(bow_kwargs or {}),
+    )
+    hammer = prm.sample_hammer(
+        rng,
+        sr=sr,
+        length=length,
+        batch_size=batch_size,
+        precision=precision,
+        k=k,
+        randomize_each=randomize_each,
+        **(hammer_kwargs or {}),
+    )
+
+    if load_config is not None:
+        _load_presets(load_config, total_size, string, bow, hammer, k)
+
+    # device placement: TPU by default; CPU for proc.cpu or double precision
+    backend = "cpu" if (cpu or precision == "double") else None
+    try:
+        device = jax.devices(backend)[0] if backend else jax.devices()[0]
+    except RuntimeError:
+        device = jax.devices("cpu")[0]
+
+    consts = SimConsts(
+        k=k,
+        theta_t=float(theta_t),
+        lambda_c=float(lambda_c),
+        relative_error=float(relative_order),
+        M_t=string.Nx_t + 1,
+        M_l=string.Nx_l + 1,
+        surface_integral=bool(surface_integral),
+        manufactured=bool(manufactured),
+        collect_state=collect_state,
+    )
+    results = process(
+        string,
+        bow,
+        hammer,
+        bow_mask,
+        hammer_mask,
+        consts,
+        total_size,
+        chunk_size,
+        device=device,
+        save_path=save_path,
+        sr=sr,
+        skip_nan=skip_nan,
+        collect_state=collect_state,
+    )
+    return results, (string, bow, hammer, [k, theta_t, lambda_c]), (
+        bow_mask,
+        hammer_mask,
+        pluck_mask,
+    )
+
+
+def _load_presets(load_config, total_size, string, bow, hammer, k):
+    """Apply ``<model>-<param>.npy`` preset overrides (simulate.py:164-182,
+    simulator.py ``dump_parameter``)."""
+    for npy_path in glob.glob(f"{load_config}/*.npy"):
+        val = np.load(npy_path)
+        if val.shape[-1] < total_size:
+            val = np.pad(val, (0, total_size - val.shape[-1]), mode="edge")
+        else:
+            val = val[:total_size]
+        target_model, target_param = os.path.basename(npy_path).split(".")[0].split("-")
+        tm = target_model.lower()
+        if tm == "string":
+            if target_param == "f0":
+                w0 = np.asarray(
+                    fdm.stiff_string_modes(0.0, string.kappa.reshape(-1, 1), 1)[1][0]
+                )
+                string.f0 = (val[None, :] / w0).astype(string.f0.dtype)
+                string.target_f0 = np.broadcast_to(
+                    val, string.target_f0.shape
+                ).astype(string.f0.dtype)
+            else:
+                setattr(string, target_param, np.asarray(val, string.f0.dtype))
+        elif tm == "bow":
+            cur = getattr(bow, target_param)
+            setattr(
+                bow, target_param, np.broadcast_to(val, cur.shape).astype(cur.dtype)
+            )
+        elif tm == "hammer":
+            if target_param == "v_H":
+                profile = val[None, :].astype(hammer.v_H.dtype)
+                amp = hammer.v_H.max(axis=-1, keepdims=True)
+                hammer.v_H = np.broadcast_to(profile, hammer.v_H.shape).copy()
+                u_H = np.zeros_like(hammer.v_H)
+                u_H[:, :2] += prm.M_HD_INIT
+                hammer.u_H = u_H + k * hammer.v_H
+            else:
+                cur = getattr(hammer, target_param)
+                setattr(hammer, target_param, np.broadcast_to(val, cur.shape).astype(cur.dtype))
+        else:
+            raise NotImplementedError(target_model)
+
+
+def run(args, save_dir, model_name, n_samples):
+    """Full dataset-generation loop (reference simulate.py:219-456)."""
+    task = args.task
+    sr = task.sr
+
+    def _cond(cond_list, key):
+        vals = [d[key] for d in cond_list if key in d and d[key] is not None]
+        return vals[0] if vals else None
+
+    if task.sampling_kappa == "fix":
+        kappa_max = _cond(task.string_condition, "kappa_fixed")
+    else:
+        kappa_max = _cond(task.string_condition, "kappa_max")
+        assert kappa_max is not None, "Specify 'kappa_max' in task.string_condition"
+    if task.sampling_f0 == "fix":
+        f0_min = _cond(task.string_condition, "f0_fixed")
+        if np.ndim(f0_min) > 0:
+            f0_min = min(f0_min)
+    else:
+        f0_min = _cond(task.string_condition, "f0_min")
+    theta_t = (
+        fdm.get_theta(kappa_max, f0_min, sr) if task.theta_t is None else task.theta_t
+    )
+
+    string_kwargs = dict(
+        sampling_f0=task.sampling_f0 or "random",
+        sampling_kappa=task.sampling_kappa or "random",
+        sampling_alpha=task.sampling_alpha or "random",
+        sampling_pickup=task.sampling_pickup or "random",
+        sampling_T60=task.sampling_T60 or "random",
+        precorrect=True if task.precorrect is None else task.precorrect,
+    )
+    for cond, kwargs in (
+        (task.string_condition, string_kwargs),
+        (task.pluck_condition, string_kwargs),
+    ):
+        for d in cond:
+            ((key, val),) = d.items()
+            if val is not None:
+                kwargs[key] = val
+    hammer_kwargs = {}
+    for d in task.hammer_condition:
+        ((key, val),) = d.items()
+        if val is not None:
+            hammer_kwargs[key] = val
+    bow_kwargs = {}
+    for d in task.bow_condition:
+        ((key, val),) = d.items()
+        if val is not None:
+            bow_kwargs[key] = val
+
+    rng = np.random.default_rng(args.proc.seed)
+    time_log = []
+    os.makedirs(save_dir, exist_ok=True)
+    collect_state = bool(task.save or task.plot or task.plot_state)
+
+    import jax
+
+    for it in _progress(range(n_samples), "Simulating"):
+        dx = str(it) if not task.randomize_name else ms.random_str(rng=rng)
+        save_path = f"{save_dir}/{dx}/{sr}" if task.write_during_process else None
+
+        st = time.time()
+        results, params_out, masks = simulate(
+            model_name,
+            sr,
+            theta_t,
+            task.length,
+            task.batch_size,
+            task.f0_inf,
+            task.alpha_inf,
+            task.lambda_c,
+            args.proc.cpu,
+            task.load_config,
+            task.chunk_length,
+            save_path,
+            string_kwargs,
+            hammer_kwargs,
+            bow_kwargs,
+            task.skip_nan,
+            task.precision,
+            task.relative_order,
+            task.surface_integral,
+            task.randomize_each,
+            task.manufactured,
+            rng=rng,
+            collect_state=collect_state,
+        )
+        proc_time = time.time() - st
+        time_log.append(proc_time)
+        log_name = "cpu_time" if args.proc.cpu else "tpu_time"
+        with open(f"{save_dir}/{log_name}.txt", "a") as f:
+            f.write(f"{dx}\t{proc_time:.2f}\n")
+
+        uout, zout, state_u, state_z, v_r, F_H, u_H, sig0, sig1 = results
+        string, bow, hammer, consts_list = params_out
+        bow_mask, hammer_mask, pluck_mask = masks
+
+        state_is_nan = np.isnan(uout.sum(-1))
+        uout = uout * ~state_is_nan[:, None]
+        is_silent = audio.dB_RMS(uout) <= task.silence_threshold
+
+        _, _, Nx_t, _, Nx_l, _ = [
+            np.asarray(v)
+            for v in fdm.get_derived_vars(
+                string.f0,
+                string.kappa[:, None],
+                1.0 / sr,
+                theta_t,
+                task.lambda_c,
+                string.alpha[:, None],
+            )
+        ]
+
+        wout = uout + zout
+        for b in range(task.batch_size):
+            if state_is_nan[b]:
+                continue
+            if task.skip_silence and is_silent[b]:
+                continue
+            excitation = ",".join(
+                t
+                for t, m in (
+                    ("bow", bow_mask[b]),
+                    ("hammer", hammer_mask[b]),
+                    ("pluck", pluck_mask[b]),
+                )
+                if m
+            )
+            d = f"{save_dir}/{dx}-{b}"
+            if task.plot or task.plot_state or task.save:
+                os.makedirs(d, exist_ok=True)
+            bitrate = "PCM_24" if task.precision == "double" else "PCM_16"
+            if task.normalize_output:
+                u_n, gain = audio.ell_infty_normalize(uout[b])
+                z_n = gain * zout[b]
+            else:
+                u_n, z_n = uout[b], zout[b]
+            os.makedirs(d, exist_ok=True)
+            wavio.write(f"{d}/output-u.wav", u_n, sr, bitrate)
+            wavio.write(f"{d}/output-z.wav", z_n, sr, bitrate)
+            wavio.write(f"{d}/output.wav", u_n + z_n, sr, bitrate)
+
+            if task.save:
+                state_u_b = state_u[b, :, : int(Nx_t[b].max()) + 1]
+                state_z_b = state_z[b, :, : int(Nx_l[b].max()) + 1]
+                overall = dict(
+                    uout=uout[b],
+                    zout=zout[b],
+                    state_u=state_u_b,
+                    state_z=state_z_b,
+                    v_r_out=v_r[b],
+                    F_H_out=F_H[b],
+                    u_H_out=u_H[b],
+                    bow_mask=bow_mask[b],
+                    hammer_mask=hammer_mask[b],
+                    pluck_mask=pluck_mask[b],
+                    Nx_t=Nx_t[b],
+                    Nx_l=Nx_l[b],
+                    sig0=sig0[b],
+                    sig1=sig1[b],
+                    string_params=[
+                        string.kappa[b],
+                        string.alpha[b],
+                        string.u0[b][None, :],
+                        string.v0[b][None, :],
+                        string.p_a[b],
+                        string.f0[b],
+                        string.pos[b],
+                        string.T60[b],
+                        string.target_f0[b],
+                    ],
+                    hammer_params=[
+                        hammer.x_H[b],
+                        hammer.v_H[b],
+                        hammer.u_H[b],
+                        hammer.w_H[b],
+                        hammer.M_r[b],
+                        hammer.alpha[b],
+                    ],
+                    bow_params=[
+                        bow.x_b[b],
+                        bow.v_b[b],
+                        bow.F_b[b],
+                        bow.phi_0[b],
+                        bow.phi_1[b],
+                        bow.wid[b],
+                    ],
+                )
+                ms.save_simulation_data(d, excitation, overall, consts_list)
+
+            if task.plot:
+                from ..utils import plot as uplot
+
+                uplot.simulation_plots(d, uout[b], zout[b], string.target_f0[b], sr)
+            if task.plot_state:
+                from ..utils import plot as uplot
+
+                uplot.state_video(d, state_u[b, :, : int(Nx_t[b].max()) + 1], sr)
+    return time_log
