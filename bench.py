@@ -1,0 +1,183 @@
+#!/usr/bin/env python3
+"""Headline benchmark: batched string-FDTD throughput on one chip.
+
+Workload: the reference's default simulation shape (batch 16, 1 s @ 48 kHz,
+randomized pluck strings, single precision, artifact collection off — the
+reference's ``measure_time`` mode also disables saving, simulate.py:278-331
+/ run.py:96-99).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` compares against the torch reference engine measured on
+this machine's CPU (single thread, the reference's own CPU protocol),
+stored in ``bench_baseline.json``.  The reference's GPU path is not
+benchmarkable here (no CUDA device); the CPU baseline is the honest
+available comparison.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_workload(B=16, length=1.0, sr=48000, seed=7):
+    from torch_fdtd_string_tpu.core import params as prm
+    from torch_fdtd_string_tpu.core.engine import (
+        BowParams,
+        Carry,
+        HammerParams,
+        SimConsts,
+        StringParams,
+    )
+    from torch_fdtd_string_tpu.ops import fdm
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    k = 1.0 / sr
+    f0_min, f0_max = 98.0, 440.0
+    kappa_max = 0.03
+    theta = fdm.get_theta(kappa_max, f0_min, sr)
+
+    pluck_mask = np.ones(B, bool)
+    hammer_mask = np.zeros(B, bool)
+    string = prm.sample_string(
+        rng,
+        k=k,
+        theta_t=theta,
+        lambda_c=1.0,
+        sr=sr,
+        length=length,
+        f0_inf=f0_min,
+        alpha_inf=1.0,
+        batch_size=B,
+        precision="single",
+        pluck_batch=True,
+        pluck_mask=pluck_mask,
+        hammer_mask=hammer_mask,
+        f0_min=f0_min,
+        f0_max=f0_max,
+        kappa_min=0.01,
+        kappa_max=kappa_max,
+        alpha_min=1.0,
+        alpha_max=25.0,
+        t60_min_1=10.0,
+        t60_max_1=25.0,
+        t60_min_2=10.0,
+        t60_max_2=30.0,
+        p_a_max=0.02,
+        p_x_max=0.5,
+    )
+    bow = prm.sample_bow(
+        rng, sr=sr, length=length, batch_size=B, precision="single"
+    )
+    hammer = prm.sample_hammer(
+        rng, sr=sr, length=length, batch_size=B, precision="single", k=k
+    )
+
+    dtype = jnp.float32
+    Nt = int(sr * length)
+    u1, u2 = fdm.initialize_state_rows(string.u0, string.v0, k)
+    M_l = string.Nx_l + 1
+    carry = Carry(
+        u1=jnp.asarray(u1, dtype),
+        u2=jnp.asarray(u2, dtype),
+        z1=jnp.zeros((B, M_l), dtype),
+        z2=jnp.zeros((B, M_l), dtype),
+        uH1=jnp.asarray(hammer.u_H[:, 1], dtype),
+        uH2=jnp.asarray(hammer.u_H[:, 0], dtype),
+    )
+    sp = StringParams(
+        kappa=jnp.asarray(string.kappa, dtype),
+        alpha=jnp.asarray(string.alpha, dtype),
+        p_a=jnp.asarray(string.p_a, dtype),
+        f0=jnp.asarray(string.f0, dtype),
+        pos=jnp.asarray(string.pos, dtype),
+        T60=jnp.asarray(string.T60, dtype),
+    )
+    bp = BowParams(
+        x_b=jnp.asarray(bow.x_b, dtype),
+        v_b=jnp.asarray(bow.v_b, dtype),
+        F_b=jnp.asarray(bow.F_b, dtype),
+        phi_0=jnp.asarray(bow.phi_0, dtype),
+        phi_1=jnp.asarray(bow.phi_1, dtype),
+        wid=jnp.asarray(bow.wid, dtype),
+    )
+    hp = HammerParams(
+        x_H=jnp.asarray(hammer.x_H, dtype),
+        w_H=jnp.asarray(hammer.w_H, dtype),
+        M_r=jnp.asarray(hammer.M_r, dtype),
+        alpha=jnp.asarray(hammer.alpha, dtype),
+    )
+    consts = SimConsts(
+        k=k,
+        theta_t=float(theta),
+        lambda_c=1.0,
+        relative_error=4.0,
+        M_t=string.Nx_t + 1,
+        M_l=string.Nx_l + 1,
+        surface_integral=True,
+        collect_state=False,
+    )
+    bm = jnp.zeros((B,), bool)
+    hm = jnp.zeros((B,), bool)
+    steps = jnp.arange(2, Nt, dtype=jnp.int32)
+    return (carry, steps, sp, bp, hp, bm, hm, consts), B, length
+
+
+def main():
+    import jax
+
+    from torch_fdtd_string_tpu.core.engine import simulate_chunk
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR", os.path.expanduser("~/.jax_fdtd_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    B = int(os.environ.get("BENCH_B", "16"))
+    length = float(os.environ.get("BENCH_LEN", "1.0"))
+    args, B, length = build_workload(B=B, length=length)
+    (carry, steps, sp, bp, hp, bm, hm, consts) = args
+
+    # warmup (compile)
+    out = simulate_chunk(carry, steps, sp, bp, hp, bm, hm, consts)
+    jax.block_until_ready(out)
+
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = simulate_chunk(carry, steps, sp, bp, hp, bm, hm, consts)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    wall = min(times)
+    audio_sec = B * length
+    value = audio_sec / wall
+
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+    vs = 0.0
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        if base.get("audio_sec_per_wall_sec"):
+            vs = value / base["audio_sec_per_wall_sec"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "audio_sec_simulated_per_wall_sec_per_chip_48khz_b16",
+                "value": round(value, 3),
+                "unit": "audio_s/s",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
