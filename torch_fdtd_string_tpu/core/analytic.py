@@ -1,0 +1,188 @@
+"""Analytic / modal solutions of the string PDE (host-side numpy/scipy).
+
+Counterpart of reference ``src/model/analytic.py``: closed-form ground
+truths used for (a) verification of the FDTD engine, (b) the ``ua-*.wav``
+modal training targets, and (c) the per-mode (freq, shape) labels the DMSP
+network trains on.
+
+Root finding for the clamped lossy *stiff* string's transcendental mode
+equations stays on the host (scipy Levenberg-Marquardt; cf. reference
+analytic.py:143-260).  Unlike the reference — which fits the (linear!)
+mode-coefficient problem with iterative least_squares — the coefficient fit
+here is a direct ``lstsq`` solve, which is exact and much faster.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import scipy.optimize
+import scipy.signal
+
+MACHINE_EPS = 2.23e-16
+
+
+def manufactured_solution(Nt, Nx, gamma, sig0, p_a, sr):
+    """u(x,t) = p_a cos^2(pi x) cos(gamma t) exp(-sig0 t) on x in [-1/2, 1/2]
+    (reference analytic.py:21-27)."""
+    x = np.linspace(-0.5, 0.5, Nx)
+    t = np.arange(Nt)[:, None] / sr
+    return p_a * np.cos(np.pi * x)[None, :] ** 2 * np.cos(gamma * t) * np.exp(-sig0 * t)
+
+
+# -----------------------------------------------------------------------------
+# Lossless non-stiff string (d'Alembert sine series, analytic.py:38-54)
+# -----------------------------------------------------------------------------
+
+def lossless_nonstiff_string(u0, f0, Nt, Nx, sr, L=1.0):
+    """Sine-series solution of the ideal string.
+
+    u0: (Nx,) initial displacement on x in [0, L]; f0: scalar or (Nt,).
+    Returns (Nt, Nx).
+    """
+    u0 = np.asarray(u0, np.float64).reshape(-1)
+    x = np.linspace(0, L, Nx)
+    t = np.arange(Nt)[:, None] / sr
+    c = 2 * L * np.reshape(np.asarray(f0, np.float64), (-1, 1))  # (Nt|1, 1)
+    n = np.arange(1, Nx + 1)[None, :]
+    sin_nx = np.sin(n[:, :, None] * np.pi * x[None, None, :] / L)  # (1, Nx_modes, Nx)
+    b = 2 / L * (u0[None, :] * np.sin(n.T * np.pi * x[None, :] / L)).mean(axis=1)
+    cos_t = np.cos(n * np.pi * c * t / L)  # (Nt, Nx_modes)
+    return (cos_t * b[None, :]) @ sin_nx[0]
+
+
+def nonlinear_wave_solution(u0, z0, f0, alpha, Nt, Nx, sr, L=1.0):
+    """(u, z) pair of sine-series solutions with wave speeds c and alpha*c
+    (reference analytic.py:56-76)."""
+    u = lossless_nonstiff_string(u0, f0, Nt, Nx, sr, L)
+    z = lossless_nonstiff_string(z0, np.asarray(f0) * alpha, Nt, Nx, sr, L)
+    return u, z
+
+
+# -----------------------------------------------------------------------------
+# Lossy stiff string: transcendental mode families (analytic.py:143-388)
+# -----------------------------------------------------------------------------
+
+def t60_to_sigma_scalar(T60, gamma, K):
+    """Freq-independent loss sigma from a (2,2) T60 spec (analytic.py:128-141)."""
+    T60 = np.asarray(T60, np.float64)
+    zeta1 = -(gamma**2) + np.sqrt(gamma**4 + 4 * K**2 * (2 * np.pi * T60[0, 0]) ** 2)
+    zeta2 = -(gamma**2) + np.sqrt(gamma**4 + 4 * K**2 * (2 * np.pi * T60[1, 0]) ** 2)
+    sig0 = -zeta2 / T60[0, 1] + zeta1 / T60[1, 1]
+    return 6 * math.log(10) * sig0 / (zeta1 - zeta2)
+
+
+class StiffStringModes:
+    """Mode frequencies/shapes of the clamped stiff string on [-L/2, L/2].
+
+    Solves the even/odd transcendental equations (analytic.py:154-171):
+
+      even:  mu1 tan(mu1 L/2) + mu2 tanh(mu2 L/2) = 0
+      odd:   mu2 tan(mu1 L/2) - mu1 tanh(mu2 L/2) = 0
+
+    with ``mu2 = sqrt(mu1^2 + 2 l)``, ``l = gamma^2 / (2 K^2)``, by a dense
+    sweep for initial guesses followed by LM refinement.
+    """
+
+    def __init__(self, ell, L=1.0, s_min=math.pi / 2, s_max=100 * math.pi,
+                 s_res=int(1e6)):
+        self.l = float(ell)
+        self.L = L
+        self.s_min = s_min
+        self.s_max = s_max
+        self.s_res = s_res
+
+    def _mu1(self, mu2):
+        return np.sqrt(np.maximum(mu2**2 - 2 * self.l, 0.0))
+
+    def _mu2(self, mu1):
+        return np.sqrt(mu1**2 + 2 * self.l)
+
+    def _f(self, mu2, kind):
+        mu1 = self._mu1(mu2)
+        h = self.L / 2
+        if kind == "even":
+            return mu1 * np.tan(mu1 * h) + mu2 * np.tanh(mu2 * h)
+        return mu2 * np.tan(mu1 * h) - mu1 * np.tanh(mu2 * h)
+
+    def sweep(self, kind, peak_val=1.0):
+        mu1 = np.linspace(self.s_min, self.s_max, self.s_res)
+        mu2 = self._mu2(mu1)
+        val = np.abs(self._f(mu2, kind)).clip(max=peak_val)
+        peaks = scipy.signal.find_peaks(
+            peak_val - val, height=0.1 * peak_val, distance=math.pi / 2
+        )[0]
+        return np.sort(mu2[peaks])
+
+    def refine(self, mu2_init, kind, strict=True):
+        result = scipy.optimize.least_squares(
+            lambda m2: self._f(m2, kind),
+            mu2_init,
+            method="lm",
+            ftol=MACHINE_EPS,
+            xtol=MACHINE_EPS,
+            gtol=MACHINE_EPS,
+        )
+        if strict:
+            assert float(result.cost) < 1e-20, result.cost
+        return np.sort(result.x)
+
+    def shapes(self, mu2, kind, x):
+        """Unit-coefficient mode shapes on grid ``x``: (n_modes, Nx)."""
+        h = self.L / 2
+        mu1 = self._mu1(mu2)
+        if kind == "even":
+            trig = np.cos(mu1[:, None] * x[None, :])
+            corr = -np.cos(mu1 * h) / np.cosh(mu2 * h)
+            hyp = corr[:, None] * np.cosh(mu2[:, None] * x[None, :])
+        else:
+            trig = np.sin(mu1[:, None] * x[None, :])
+            corr = -np.sin(mu1 * h) / np.sinh(mu2 * h)
+            hyp = corr[:, None] * np.sinh(mu2[:, None] * x[None, :])
+        return trig + hyp
+
+
+def lossy_stiff_string(u0, f0, kappa_rel, t60, Nt, Nx, sr, L=1.0, strict=True):
+    """Full modal solution of the clamped lossy stiff string.
+
+    Args mirror reference ``analytic.py:340-368``:
+      u0: (1, Nx) or (Nx,) initial displacement on x in [-L/2, L/2].
+      f0: scalar or (Nt,) fundamental (only f0[0] defines the mode problem).
+      kappa_rel, t60 ((2,2)): string parameters.
+    Returns (u (Nt, Nx), mode_freq (n_modes,) [rad/sample], mode_amps
+    (n_modes, Nx)).
+    """
+    u0 = np.asarray(u0, np.float64).reshape(-1)
+    f0_arr = np.reshape(np.asarray(f0, np.float64), (-1,))
+    gamma = 2 * L * f0_arr[0]
+    K = kappa_rel * gamma
+    assert K > 0, kappa_rel
+    ell = gamma**2 / (2 * K**2)
+    sigma = t60_to_sigma_scalar(t60, gamma, K)
+
+    x = np.linspace(-L / 2, L / 2, Nx)
+    t = np.arange(Nt)[:, None] / sr
+
+    solver = StiffStringModes(ell, L)
+    freqs, amps = [], []
+    u = np.zeros((Nt, Nx))
+    for kind in ("even", "odds"):
+        mu2 = solver.refine(solver.sweep(kind), kind, strict=strict)
+        mu1 = solver._mu1(mu2)
+        X = solver.shapes(mu2, kind, x)  # (n, Nx) unit shapes
+        # linear coefficient fit: sum_n b_n X_n = u0  (the reference solves
+        # the same least-squares problem iteratively, analytic.py:227-244)
+        b, *_ = np.linalg.lstsq(X.T, u0, rcond=None)
+        Xb = b[:, None] * X  # (n, Nx) fitted shapes
+        varsg = mu1**4 * K**2 + mu1**2 * gamma**2
+        omega = np.sqrt(np.maximum(varsg - sigma**2, 0.0))  # rad/s
+        T = np.exp(-sigma * t) * np.cos(omega[None, :] * t)  # (Nt, n)
+        u += T @ Xb
+        freqs.append(omega / sr)  # rad/sample (reference stores omega*t[1])
+        amps.append(Xb)
+
+    freqs = np.concatenate(freqs)
+    amps = np.concatenate(amps, axis=0)
+    order = np.argsort(freqs)
+    return u, freqs[order], amps[order]

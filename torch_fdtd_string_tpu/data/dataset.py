@@ -1,0 +1,157 @@
+"""DMSP training datasets + a torch-free data loader.
+
+Counterpart of reference ``src/dataset/synthesize.py``: items are indexed by
+``(string_id * Nx + x_idx)``; each item loads the per-x FDTD target wav
+(``ut-{x}.wav``), the modal target (``ua-{x}.wav``) and the parameter bundle,
+with an optional random time-trim for training.
+
+The loader is a simple threaded prefetcher producing numpy-stacked batches
+(host-side; device transfer happens in the jitted train step).  Items'
+``mode_freq``/``mode_amps`` are padded/trimmed to a fixed ``n_modes_pad`` so
+batches stack (the reference relies on uniform mode counts across items; we
+make that explicit).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import threading
+
+import numpy as np
+
+from ..utils import data as dutil
+from ..utils import wav as wavio
+
+KEYS = [
+    "x", "t", "kappa", "alpha", "f0", "T60", "u0",
+    "mode_freq", "mode_amps", "gain", "ua_f0", "ut_f0",
+]
+
+
+class GenericDataset:
+    def __init__(self, data_dir, load_name, split="train", trim=None, Nx=256,
+                 n_modes_pad=100, seed=0):
+        self.rng = np.random.default_rng(seed)
+        self.trim = trim
+        self.Nx = Nx
+        self.n_modes_pad = n_modes_pad
+        pattern = f"{data_dir}/{load_name}/{split.lower()}/*/ut-0.wav"
+
+        def string_id(p):
+            return p.split("/")[-2]
+
+        paths = sorted(glob.glob(pattern), key=string_id)
+        assert len(paths) > 0, f"[Loader] No data found: {pattern}"
+        self.tgt_list = paths
+        self.n_data = len(paths) * Nx
+
+    def __len__(self):
+        return self.n_data
+
+    def _pad_modes(self, freq, amps):
+        n = len(freq)
+        m = self.n_modes_pad
+        if n >= m:
+            return freq[:m], amps[:m]
+        freq_p = np.pad(freq, (0, m - n), mode="edge")
+        amps_p = np.pad(amps, ((0, m - n), (0, 0)))
+        return freq_p, amps_p
+
+    def load_data(self, tgt_path):
+        parts = tgt_path.split("/")
+        string_dir = "/".join(parts[:-1])
+        x_idx = int(os.path.splitext(parts[-1])[0].split("-")[-1])
+        npz_path = os.path.join(string_dir, "parameters.npz")
+        lin_path = tgt_path.replace("ut-", "ua-")
+        linear_wave, _ = wavio.read(lin_path)
+
+        Nt = len(linear_wave)
+        if self.trim is not None and Nt > self.trim:
+            st = int(self.rng.integers(Nt - self.trim))
+            et = st + self.trim
+            linear_wave = linear_wave[st:et]
+            item = dutil.load_wav(tgt_path, npz_path, (st, et), keys=KEYS)
+        else:
+            item = dutil.load_wav(tgt_path, npz_path, keys=KEYS)
+
+        freq, amps = self._pad_modes(
+            np.asarray(item["mode_freq"]).reshape(-1),
+            np.asarray(item["mode_amps"]),
+        )
+        item["mode_freq"] = freq
+        item["mode_amps"] = amps
+        item["x"] = np.asarray(item["x"]).reshape(-1)[x_idx]
+        item["mode_coef"] = amps[:, x_idx][None, None, :]
+        item["analytic"] = linear_wave
+        return item
+
+    def __getitem__(self, index):
+        anchor = self.tgt_list[index // self.Nx]
+        x_idx = index % self.Nx
+        return self.load_data(anchor.replace("ut-0.wav", f"ut-{x_idx}.wav"))
+
+
+class Trainset(GenericDataset):
+    def __init__(self, data_dir, load_name, trim=None, **kw):
+        super().__init__(data_dir, load_name, split="train", trim=trim, **kw)
+        print(f"[Loader] Train samples:\n\t(total) {len(self)}")
+
+
+class Testset(GenericDataset):
+    def __init__(self, data_dir, load_name, split="test", trim=None, **kw):
+        super().__init__(data_dir, load_name, split=split, trim=trim, **kw)
+        print(f"[Loader] {split} samples:\n\t(total) {len(self)}")
+
+
+def _collate(items):
+    out = {}
+    for key in items[0].keys():
+        out[key] = np.stack([np.asarray(it[key]) for it in items])
+    return out
+
+
+class DataLoader:
+    """Shuffling, batching, threaded-prefetch iterator over a dataset."""
+
+    def __init__(self, dataset, batch_size, shuffle=False, drop_last=False,
+                 num_workers=2, seed=0):
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(num_workers, 1)
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
+
+    def __iter__(self):
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        batches = [
+            idx[i : i + self.bs] for i in range(0, len(idx), self.bs)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.bs]
+
+        q: queue.Queue = queue.Queue(maxsize=4)
+        stop = object()
+
+        def worker():
+            try:
+                for b in batches:
+                    q.put(_collate([self.ds[int(i)] for i in b]))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item

