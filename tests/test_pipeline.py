@@ -1,0 +1,243 @@
+"""End-to-end DMSP pipeline integration: simulate -> preprocess -> train -> score.
+
+Mirrors the reference's full workflow (README quickstart): FDTD dataset
+generation, training-data preprocessing (upsampling + analytic modal
+targets + f0 tracks), a few DMSP training steps, and test scoring against
+the modal baseline.  Small shapes so the whole thing runs in minutes on CPU.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pipeline_dirs(tmp_path_factory):
+    import jax.numpy as jnp
+
+    from torch_fdtd_string_tpu.core import params as prm
+    from torch_fdtd_string_tpu.core.engine import SimConsts
+    from torch_fdtd_string_tpu.ops import fdm
+    from torch_fdtd_string_tpu.tasks import simulate as sim_task
+    from torch_fdtd_string_tpu.utils import misc as ms
+    from torch_fdtd_string_tpu.utils import wav as wavio
+
+    root = tmp_path_factory.mktemp("pipeline")
+    sim_dir = root / "sims"
+    os.makedirs(sim_dir, exist_ok=True)
+
+    sr, length, B = 48000, 0.15, 2
+    k = 1.0 / sr
+    rng = np.random.default_rng(0)
+    theta = fdm.get_theta(0.03, 150.0, sr)
+
+    n_items = 0
+    for it in range(3):
+        results, params_out, masks = sim_task.simulate(
+            "pluck",
+            sr,
+            theta,
+            length,
+            B,
+            150.0,
+            1.0,
+            1.0,
+            cpu=True,
+            string_kwargs=dict(
+                f0_min=150.0,
+                f0_max=200.0,
+                f0_mod_max=0.0,
+                f0_diff_max=0.0,
+                kappa_min=0.01,
+                kappa_max=0.03,
+                alpha_min=1.0,
+                alpha_max=3.0,
+                p_a_min=0.005,
+                p_a_max=0.02,
+                p_x_min=0.2,
+                p_x_max=0.5,
+            ),
+            rng=rng,
+            precision="single",
+            collect_state=True,
+        )
+        uout, zout, state_u, state_z, v_r, F_H, u_H, sig0, sig1 = results
+        string, bow, hammer, consts_list = params_out
+        bow_mask, hammer_mask, pluck_mask = masks
+        Nx_t = np.asarray(
+            fdm.get_derived_vars(
+                jnp.asarray(string.f0),
+                jnp.asarray(string.kappa[:, None]),
+                k,
+                theta,
+                1.0,
+                jnp.asarray(string.alpha[:, None]),
+            )[2]
+        )
+        Nx_l = np.zeros_like(Nx_t)
+        for b in range(B):
+            d = sim_dir / f"{it}-{b}"
+            os.makedirs(d, exist_ok=True)
+            wavio.write(str(d / "output-u.wav"), uout[b], sr)
+            wavio.write(str(d / "output.wav"), uout[b] + zout[b], sr)
+            overall = dict(
+                uout=uout[b],
+                zout=zout[b],
+                state_u=state_u[b, :, : int(Nx_t[b].max()) + 1],
+                state_z=state_z[b, :, :8],
+                v_r_out=v_r[b],
+                F_H_out=F_H[b],
+                u_H_out=u_H[b],
+                bow_mask=bow_mask[b],
+                hammer_mask=hammer_mask[b],
+                pluck_mask=pluck_mask[b],
+                Nx_t=Nx_t[b],
+                Nx_l=Nx_l[b],
+                sig0=sig0[b],
+                sig1=sig1[b],
+                string_params=[
+                    string.kappa[b], string.alpha[b], string.u0[b][None, :],
+                    string.v0[b][None, :], string.p_a[b], string.f0[b],
+                    string.pos[b], string.T60[b], string.target_f0[b],
+                ],
+                hammer_params=[
+                    hammer.x_H[b], hammer.v_H[b], hammer.u_H[b],
+                    hammer.w_H[b], hammer.M_r[b], hammer.alpha[b],
+                ],
+                bow_params=[
+                    bow.x_b[b], bow.v_b[b], bow.F_b[b],
+                    bow.phi_0[b], bow.phi_1[b], bow.wid[b],
+                ],
+            )
+            ms.save_simulation_data(str(d), "pluck", overall, consts_list)
+            n_items += 1
+    assert n_items == 6
+    return root, sim_dir, sr
+
+
+def test_preprocess_and_dataset(pipeline_dirs):
+    from torch_fdtd_string_tpu.tasks.process_training_data import (
+        is_processed,
+        save_upsampled_data,
+    )
+
+    root, sim_dir, sr = pipeline_dirs
+    Nx = 16
+    data_root = root / "dmsp" / "string"
+    for split, items in (
+        ("train", ["0-0", "0-1", "1-0", "1-1"]),
+        ("valid", ["2-0"]),
+        ("test", ["2-1"]),
+    ):
+        for item in items:
+            dst = data_root / split / item
+            save_upsampled_data(str(sim_dir / item), str(dst), sr, Nx, strict=False)
+            assert is_processed(str(dst), Nx), dst
+
+    # dataset loads items with consistent shapes
+    from torch_fdtd_string_tpu.data.dataset import DataLoader, Trainset
+
+    ds = Trainset(str(root / "dmsp"), "string", trim=None)
+    item = ds[3]
+    assert item["target"].ndim == 1 and len(item["target"]) > 1000
+    assert item["mode_freq"].shape == (100,)
+    assert item["mode_coef"].shape[-1] == 100
+    assert np.isfinite(item["analytic"]).all()
+
+    dl = DataLoader(ds, batch_size=4, shuffle=True, drop_last=True)
+    batch = next(iter(dl))
+    assert batch["target"].shape[0] == 4
+    assert batch["mode_amps"].shape == (4, 100, Nx)
+
+    # modal target actually resembles the FDTD target spectrally
+    t = batch["target"][0]
+    a = batch["analytic"][0]
+    T = np.abs(np.fft.rfft(t * np.hanning(len(t))))
+    A = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+    pk_t = T.argmax()
+    pk_a = A.argmax()
+    assert abs(pk_t - pk_a) <= 2, (pk_t, pk_a)
+
+
+def test_train_and_score(pipeline_dirs):
+    import jax
+
+    from torch_fdtd_string_tpu.data.dataset import DataLoader, Testset, Trainset
+    from torch_fdtd_string_tpu.models.losses import build_loss_registry
+    from torch_fdtd_string_tpu.models.synthesizer import Synthesizer
+    from torch_fdtd_string_tpu.tasks import synthesize as S
+
+    root, _, sr = pipeline_dirs
+    data_dir = str(root / "dmsp")
+    block = 256
+    model = Synthesizer(
+        n_modes=12, n_bands=17, hidden_dim=32, embed_dim=16, block_size=block,
+        sr=sr,
+    )
+    trainset = Trainset(data_dir, "string")
+    loader = DataLoader(trainset, batch_size=4, shuffle=True, drop_last=True)
+
+    registry = build_loss_registry(sr, 48000)
+    criteria = ["l1", "magspec", "modefreq", "modeamps"]
+    import optax
+
+    tx = optax.adam(1e-3)
+    first = next(iter(loader))
+    prep = S.prepare_batch(first, model.n_modes, block, sr)
+    rngs = {"params": jax.random.key(0), "noise": jax.random.key(1)}
+    variables = model.init(
+        rngs,
+        [prep["xg"], prep["tg"], prep["ka"], prep["al"], prep["t60"],
+         prep["f_k"], prep["c_k"]],
+        prep["f_0"],
+        prep["u_0"],
+    )
+    state = S.TrainState(
+        variables["params"],
+        {k: v for k, v in variables.items() if k != "params"},
+        tx.init(variables["params"]),
+        0,
+        jax.random.key(2),
+    )
+    train_step = S.make_train_step(model, tx, registry, criteria, True)
+
+    losses = []
+    for epoch in range(2):
+        for batch in loader:
+            prep = S.prepare_batch(batch, model.n_modes, block, sr)
+            state, ld = train_step(state, prep)
+            losses.append(float(np.asarray(ld["loss"])))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0] * 1.5  # moving, not exploding
+
+    # test scoring vs modal baseline
+    testset = Testset(data_dir, "string", split="test")
+    tl = DataLoader(testset, batch_size=4)
+    eval_step = S.make_eval_step(model, registry, criteria, True)
+    batch = next(iter(tl))
+    prep = S.prepare_batch(batch, model.n_modes, block, sr)
+    outputs, _ = eval_step(state, prep, jax.random.key(3))
+    scores = S.item_scores(outputs["preds"], outputs["target"], sr)
+    assert np.isfinite(scores["si_sdr"]).all()
+    analytic = prep["analytic"][..., : np.asarray(outputs["preds"]).shape[-1]]
+    modal = S.item_scores(analytic, outputs["target"], sr)
+    # the analytic-modal baseline should describe the FDTD wave reasonably
+    assert np.isfinite(modal["si_sdr"]).all()
+
+
+def test_evaluate_task(pipeline_dirs):
+    root, sim_dir, sr = pipeline_dirs
+    from torch_fdtd_string_tpu.tasks.evaluate import evaluate
+
+    scores = evaluate(str(sim_dir), sr, plot=False)
+    assert len(scores) == 6
+    for name, s in scores:
+        # YIN estimate should land near the Fletcher-predicted frequency
+        assert s["abs_diff_modes"] < 0.05 * s["f0_mode_pred"], (name, s)
+
+    from torch_fdtd_string_tpu.tasks.summarize import summarize
+
+    stats = summarize(str(sim_dir))
+    assert stats is not None

@@ -31,11 +31,10 @@ KEYS = [
 
 
 class GenericDataset:
-    def __init__(self, data_dir, load_name, split="train", trim=None, Nx=256,
+    def __init__(self, data_dir, load_name, split="train", trim=None, Nx=None,
                  n_modes_pad=100, seed=0):
         self.rng = np.random.default_rng(seed)
         self.trim = trim
-        self.Nx = Nx
         self.n_modes_pad = n_modes_pad
         pattern = f"{data_dir}/{load_name}/{split.lower()}/*/ut-0.wav"
 
@@ -44,6 +43,10 @@ class GenericDataset:
 
         paths = sorted(glob.glob(pattern), key=string_id)
         assert len(paths) > 0, f"[Loader] No data found: {pattern}"
+        if Nx is None:  # auto-detect the preprocessed spatial grid size
+            first_dir = os.path.dirname(paths[0])
+            Nx = len(glob.glob(os.path.join(first_dir, "ut-*.wav")))
+        self.Nx = Nx
         self.tgt_list = paths
         self.n_data = len(paths) * Nx
 

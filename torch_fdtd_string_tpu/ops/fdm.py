@@ -146,7 +146,9 @@ def t60_to_sigma(T60, gamma, K):
     safe_t2 = jnp.where(time2 != 0, time2, 1.0)
     sig0 = jnp.where(lossy, -zeta2 / safe_t1 + zeta1 / safe_t2, lossy.astype(zeta1.dtype))
     sig1 = jnp.where(lossy, 1.0 / safe_t1 - 1.0 / safe_t2, lossy.astype(zeta1.dtype))
-    scale = 6.0 * np.log(10.0) / (zeta1 - zeta2)
+    # float() keeps the constant weakly typed (no f32 -> f64 promotion in
+    # x64 mode)
+    scale = float(6.0 * np.log(10.0)) / (zeta1 - zeta2)
     return scale * sig0, scale * sig1
 
 
