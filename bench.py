@@ -129,7 +129,41 @@ def build_workload(B=16, length=1.0, sr=48000, seed=7):
     return (carry, steps, sp, bp, hp, bm, hm, consts), B, length
 
 
+def probe_backend(timeout=120):
+    """Return True if the default JAX backend can actually compute.
+
+    The axon TPU tunnel in this environment can wedge in a way that hangs
+    any jax computation indefinitely; probe it in a killable subprocess.
+    """
+    import subprocess
+
+    code = "import jax, jax.numpy as jnp; print(float((jnp.ones((8,128))*2).sum()))"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout, capture_output=True
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if os.environ.get("_BENCH_CHILD") != "1":
+        # orchestrate: probe the default (TPU) backend; fall back to a
+        # clean-env CPU run if the tunnel is wedged
+        import subprocess
+
+        env = dict(os.environ)
+        env["_BENCH_CHILD"] = "1"
+        if not probe_backend():
+            sys.stderr.write("[bench] default backend wedged; CPU fallback\n")
+            env["PYTHONPATH"] = ""
+            env["JAX_PLATFORMS"] = "cpu"
+            env.setdefault("BENCH_B", "4")
+            env.setdefault("BENCH_LEN", "0.25")
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
+        sys.exit(r.returncode)
+
     import jax
 
     from torch_fdtd_string_tpu.core.engine import simulate_chunk

@@ -56,7 +56,8 @@ def _load_reference():
 def _run_reference(cfg, Nt):
     import torch
 
-    torch.set_num_threads(2)
+    # NOTE: do not call torch.set_num_threads here — restricting MKL
+    # threads on this host breaks/hangs its batched LU (DLASWP errors).
     mod = _load_reference()
     B = cfg["B"]
     M_t, M_l = cfg["M_t"], cfg["M_l"]

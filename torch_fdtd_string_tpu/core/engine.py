@@ -69,6 +69,11 @@ class SimConsts(NamedTuple):
     manufactured: bool = False
     picard_max_iter: int = 40
     hammer_max_iter: int = 40
+    # inner u<->z coupling sweeps per Picard iteration: the reference's dense
+    # joint inverse solves the cross-coupled block system exactly
+    # (string.cpp:173-175, 238); the Gauss-Seidel splitting here converges at
+    # rate ~||T^-1 K||^2 (tiny), so a few sweeps reach machine precision.
+    coupling_max_iter: int = 8
     collect_state: bool = True
     # The reference evaluates the MMS forcing at the *new* time level
     # ``n * k`` (string.cpp:229 with global_step = n), one step ahead of the
@@ -308,9 +313,31 @@ def string_step(carry: Carry, xs, sp: StringParams, bp: BowParams, hp: HammerPar
         rhs_u = st.mask_live(rhs_u, n_t)
         rhs_z = st.mask_live(rhs_z_const, z_keep)
 
-        u_new = tridiag_solve(sub_t, diag_t, sup_t, -rhs_u - K_tl(z))
+        # exact solve of the coupled block system by Gauss-Seidel sweeps
+        inner_eps = 100.0 * jnp.finfo(dtype).eps
+
+        def inner_body(istate):
+            u_i, z_i, _, it_i = istate
+            u_n = tridiag_solve(sub_t, diag_t, sup_t, -rhs_u - K_tl(z_i))
+            z_n = tridiag_solve(sub_l, diag_l, sup_l, -rhs_z - K_lt(u_n))
+            delta = jnp.max(jnp.abs(u_n - u_i)) + jnp.max(jnp.abs(z_n - z_i))
+            return u_n, z_n, delta, it_i + 1
+
+        def inner_cond(istate):
+            u_i, _, delta, it_i = istate
+            scale = jnp.max(jnp.abs(u_i)) + inner_eps
+            return jnp.logical_or(
+                it_i == 0,
+                jnp.logical_and(
+                    delta > inner_eps * scale, it_i < consts.coupling_max_iter
+                ),
+            )
+
+        big = jnp.array(jnp.inf, dtype)
+        u_new, z_new, _, _ = jax.lax.while_loop(
+            inner_cond, inner_body, (u, z, big, jnp.array(0, jnp.int32))
+        )
         u_new = st.dirichlet(st.mask_live(u_new, n_t), N_t)
-        z_new = tridiag_solve(sub_l, diag_l, sup_l, -rhs_z - K_lt(u_new))
         z_new = st.dirichlet(st.mask_live(z_new, n_l), N_l)
 
         res_u = jnp.max(jnp.abs(u - u_new), axis=-1)
