@@ -122,6 +122,8 @@ def build_workload(B=16, length=1.0, sr=48000, seed=7):
         M_l=string.Nx_l + 1,
         surface_integral=True,
         collect_state=False,
+        has_bow=False,
+        has_hammer=False,
     )
     bm = jnp.zeros((B,), bool)
     hm = jnp.zeros((B,), bool)

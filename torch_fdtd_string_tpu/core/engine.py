@@ -74,6 +74,15 @@ class SimConsts(NamedTuple):
     # (string.cpp:173-175, 238); the Gauss-Seidel splitting here converges at
     # rate ~||T^-1 K||^2 (tiny), so a few sweeps reach machine precision.
     coupling_max_iter: int = 8
+    # Trace-time specialization: when a run has no bowed/hammered batch
+    # elements the corresponding excitation code is eliminated entirely, and
+    # with no excitation at all the outer Picard loop is skipped (its RHS
+    # cannot change between iterations, so the reference's loop provably
+    # terminates after confirming the first iterate).  Artifact note: the
+    # fast path emits v_r_out/F_H_out = 0 where the reference would record
+    # the (masked-out, physically meaningless) bow/hammer probe values.
+    has_bow: bool = True
+    has_hammer: bool = True
     collect_state: bool = True
     # The reference evaluates the MMS forcing at the *new* time level
     # ``n * k`` (string.cpp:229 with global_step = n), one step ahead of the
@@ -283,38 +292,25 @@ def string_step(carry: Carry, xs, sp: StringParams, bp: BowParams, hp: HammerPar
     z_keep = jnp.clip(N_t + N_l + 2.0 - M_t, 0.0, n_l)
 
     # ---- excitation profiles ----------------------------------------------
-    rc = st.raised_cosine(N_t - 1.0, x_b_n, wid_n * h_t, M_t)  # bow.cpp:32
-    eps_prof = st.floor_dirac_delta(N_t - 1.0, hp.x_H, M_t)  # hammer.cpp:71
-    M_r = hp.M_r / lambda_c
-    w_H = hp.w_H / lambda_c
-    eta_1 = carry.uH1 - jnp.sum(eps_prof * u1, axis=-1)
-    eta_2 = carry.uH2 - jnp.sum(eps_prof * u2, axis=-1)
     h_mask = hammer_mask.astype(dtype)
     b_mask = bow_mask.astype(dtype)
+    has_exc = consts.has_bow or consts.has_hammer
+    if consts.has_bow:
+        rc = st.raised_cosine(N_t - 1.0, x_b_n, wid_n * h_t, M_t)  # bow.cpp:32
+    if consts.has_hammer:
+        eps_prof = st.floor_dirac_delta(N_t - 1.0, hp.x_H, M_t)  # hammer.cpp:71
+        M_r = hp.M_r / lambda_c
+        w_H = hp.w_H / lambda_c
+        eta_1 = carry.uH1 - jnp.sum(eps_prof * u1, axis=-1)
+        eta_2 = carry.uH2 - jnp.sum(eps_prof * u2, axis=-1)
 
-    def picard_body(state):
-        u, z, v_rel, F_H, u_H, it, _ = state
-        # Bow (bow.cpp:17-41)
-        du = jnp.where(it == 0, u1 - u2, u - u1)
-        v_rel = jnp.sum(rc * (du / k - v_b_n[:, None]), axis=-1)
-        phi = hard_bow(v_rel, bp.phi_0, bp.phi_1)
-        G_B = -(k**2) * (rc / ht) * (F_b_n * phi)[:, None]
+    rhs_z = st.mask_live(rhs_z_const, z_keep)
+    inner_eps = 100.0 * jnp.finfo(dtype).eps
 
-        # Hammer (hammer.cpp:56-85)
-        eps_u = jnp.sum(eps_prof * u, axis=-1)
-        F_H, u_H = _hammer_loop(
-            carry.uH1, carry.uH2, eta_1, eta_2, hp.alpha, w_H, eps_u, k,
-            tol_t, h_mask, consts.hammer_max_iter,
-        )
-        G_H = -(k**2) * eps_prof * (M_r * F_H)[:, None]
-
-        rhs_u = rhs_u_const + b_mask[:, None] * jnp.nan_to_num(G_B) \
-            + h_mask[:, None] * jnp.nan_to_num(G_H)
-        rhs_u = st.mask_live(rhs_u, n_t)
-        rhs_z = st.mask_live(rhs_z_const, z_keep)
-
-        # exact solve of the coupled block system by Gauss-Seidel sweeps
-        inner_eps = 100.0 * jnp.finfo(dtype).eps
+    def coupled_solve(rhs_u, u0_i, z0_i):
+        """Solve the cross-coupled block system to machine precision by
+        Gauss-Seidel sweeps (equivalent to the reference's joint dense
+        inverse, string.cpp:173-175, 238)."""
 
         def inner_body(istate):
             u_i, z_i, _, it_i = istate
@@ -334,38 +330,79 @@ def string_step(carry: Carry, xs, sp: StringParams, bp: BowParams, hp: HammerPar
             )
 
         big = jnp.array(jnp.inf, dtype)
-        u_new, z_new, _, _ = jax.lax.while_loop(
-            inner_cond, inner_body, (u, z, big, jnp.array(0, jnp.int32))
+        u_n, z_n, _, _ = jax.lax.while_loop(
+            inner_cond, inner_body, (u0_i, z0_i, big, jnp.array(0, jnp.int32))
         )
-        u_new = st.dirichlet(st.mask_live(u_new, n_t), N_t)
-        z_new = st.dirichlet(st.mask_live(z_new, n_l), N_l)
+        u_n = st.dirichlet(st.mask_live(u_n, n_t), N_t)
+        z_n = st.dirichlet(st.mask_live(z_n, n_l), N_l)
+        return u_n, z_n
 
-        res_u = jnp.max(jnp.abs(u - u_new), axis=-1)
-        res_z = jnp.max(jnp.abs(z - z_new), axis=-1)
-        not_conv = jnp.logical_or(
-            jnp.any(res_u > tol_t), jnp.any(res_z > tol_l)
-        )
-        return u_new, z_new, v_rel, F_H, u_H, it + 1, not_conv
-
-    def picard_cond(state):
-        *_, it, not_conv = state
-        return jnp.logical_or(
-            it == 0, jnp.logical_and(not_conv, it < consts.picard_max_iter)
-        )
+    def free_hammer_state():
+        """Hammer displacement advance with zero force (hammer.cpp:43-45)."""
+        u_H = 2.0 * carry.uH1 - carry.uH2
+        return jnp.maximum(u_H - M_HD_CLAMP, 0.0) + M_HD_CLAMP
 
     zeros_b = jnp.zeros_like(carry.uH1)
-    init = (
-        carry.u1,
-        carry.z1,
-        zeros_b,
-        zeros_b,
-        zeros_b,
-        jnp.array(0, jnp.int32),
-        jnp.array(True),
-    )
-    u, z, v_rel, F_H, u_H, n_iter, _ = jax.lax.while_loop(
-        picard_cond, picard_body, init
-    )
+    if not has_exc:
+        # No excitation: the RHS is iteration-independent, so the reference's
+        # Picard loop provably returns the first (exact) iterate. Solve once.
+        rhs_u = st.mask_live(rhs_u_const, n_t)
+        u, z = coupled_solve(rhs_u, carry.u1, carry.z1)
+        v_rel = zeros_b
+        F_H = zeros_b
+        u_H = free_hammer_state()
+        n_iter = jnp.array(1, jnp.int32)
+    else:
+
+        def picard_body(state):
+            u, z, v_rel, F_H, u_H, it, _ = state
+            rhs_u = rhs_u_const
+            if consts.has_bow:
+                # Bow (bow.cpp:17-41)
+                du = jnp.where(it == 0, u1 - u2, u - u1)
+                v_rel = jnp.sum(rc * (du / k - v_b_n[:, None]), axis=-1)
+                phi = hard_bow(v_rel, bp.phi_0, bp.phi_1)
+                G_B = -(k**2) * (rc / ht) * (F_b_n * phi)[:, None]
+                rhs_u = rhs_u + b_mask[:, None] * jnp.nan_to_num(G_B)
+            if consts.has_hammer:
+                # Hammer (hammer.cpp:56-85)
+                eps_u = jnp.sum(eps_prof * u, axis=-1)
+                F_H, u_H = _hammer_loop(
+                    carry.uH1, carry.uH2, eta_1, eta_2, hp.alpha, w_H, eps_u,
+                    k, tol_t, h_mask, consts.hammer_max_iter,
+                )
+                G_H = -(k**2) * eps_prof * (M_r * F_H)[:, None]
+                rhs_u = rhs_u + h_mask[:, None] * jnp.nan_to_num(G_H)
+            else:
+                u_H = free_hammer_state()
+            rhs_u = st.mask_live(rhs_u, n_t)
+
+            u_new, z_new = coupled_solve(rhs_u, u, z)
+            res_u = jnp.max(jnp.abs(u - u_new), axis=-1)
+            res_z = jnp.max(jnp.abs(z - z_new), axis=-1)
+            not_conv = jnp.logical_or(
+                jnp.any(res_u > tol_t), jnp.any(res_z > tol_l)
+            )
+            return u_new, z_new, v_rel, F_H, u_H, it + 1, not_conv
+
+        def picard_cond(state):
+            *_, it, not_conv = state
+            return jnp.logical_or(
+                it == 0, jnp.logical_and(not_conv, it < consts.picard_max_iter)
+            )
+
+        init = (
+            carry.u1,
+            carry.z1,
+            zeros_b,
+            zeros_b,
+            zeros_b,
+            jnp.array(0, jnp.int32),
+            jnp.array(True),
+        )
+        u, z, v_rel, F_H, u_H, n_iter, _ = jax.lax.while_loop(
+            picard_cond, picard_body, init
+        )
 
     # ---- readout (string.cpp:263-298) --------------------------------------
     rp = sp.pos

@@ -270,6 +270,8 @@ def simulate(
         surface_integral=bool(surface_integral),
         manufactured=bool(manufactured),
         collect_state=collect_state,
+        has_bow=bool(np.any(bow_mask)),
+        has_hammer=bool(np.any(hammer_mask)),
     )
     results = process(
         string,
