@@ -83,6 +83,12 @@ class SimConsts(NamedTuple):
     # the (masked-out, physically meaningless) bow/hammer probe values.
     has_bow: bool = True
     has_hammer: bool = True
+    # > 0: replace the adaptive inner coupling while_loop with a static
+    # number of unrolled Gauss-Seidel sweeps (no residual reductions, fully
+    # static schedule — faster on TPU). The splitting contracts at
+    # ~||T^-1 K_tl|| * ||T^-1 K_lt|| per sweep (orders of magnitude below 1
+    # for physical parameters), so 3 sweeps reach f32 machine precision.
+    coupling_fixed_iters: int = 0
     collect_state: bool = True
     # The reference evaluates the MMS forcing at the *new* time level
     # ``n * k`` (string.cpp:229 with global_step = n), one step ahead of the
@@ -311,6 +317,14 @@ def string_step(carry: Carry, xs, sp: StringParams, bp: BowParams, hp: HammerPar
         """Solve the cross-coupled block system to machine precision by
         Gauss-Seidel sweeps (equivalent to the reference's joint dense
         inverse, string.cpp:173-175, 238)."""
+        if consts.coupling_fixed_iters > 0:
+            u_n, z_n = u0_i, z0_i
+            for _ in range(consts.coupling_fixed_iters):
+                u_n = tridiag_solve(sub_t, diag_t, sup_t, -rhs_u - K_tl(z_n))
+                z_n = tridiag_solve(sub_l, diag_l, sup_l, -rhs_z - K_lt(u_n))
+            u_n = st.dirichlet(st.mask_live(u_n, n_t), N_t)
+            z_n = st.dirichlet(st.mask_live(z_n, n_l), N_l)
+            return u_n, z_n
 
         def inner_body(istate):
             u_i, z_i, _, it_i = istate
