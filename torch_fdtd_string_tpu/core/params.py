@@ -54,6 +54,22 @@ def vibrato(rng, f0, k, mf=(3.0, 5.0), ma=0.05, ma_in_hz=False):
     return f0 + vibra * sign
 
 
+def glissando(f1, f2, n, mode="linear"):
+    """Pitch glide between two anchors (control.py:20-24)."""
+    if mode != "linear":
+        raise NotImplementedError(mode)
+    return linear(f1, f2, n)
+
+
+def triangle_with_velocity(vel, n, sr_t, sr_x, max_u=0.1):
+    """Triangular hammer-displacement profile from a strike velocity
+    (control.py:47-58). vel: (B,); returns (B, n)."""
+    vel = np.asarray(vel, float).reshape(-1, 1) * sr_x / sr_t
+    ramp = vel * np.arange(1, n + 1)[None, :]
+    u_H = np.maximum(max_u - np.abs(max_u - ramp) - vel, 0.0)
+    return np.clip(u_H**5, None, 0.01)
+
+
 def pre_shaper(x, sr, velocity=10):
     """tanh attack envelope (misc.py:74-76)."""
     n = x.shape[-1]

@@ -160,10 +160,14 @@ def train(args, save_dir):
         if (epoch + 1) % max(task.valid_epoch, 1) == 0:
             vals = []
             rng = jax.random.key(1234 + epoch)
-            for batch in valid_loader:
+            for vi, batch in enumerate(valid_loader):
                 prep = S.prepare_batch(batch, model.n_modes, block, sr)
-                _, ld = eval_step(state, prep, rng)
+                outputs, ld = eval_step(state, prep, rng)
                 vals.append({k: float(np.asarray(v)) for k, v in ld.items()})
+                if vi == 0 and task.get("plot"):
+                    from .callbacks import plot_results
+
+                    plot_results(save_dir, "valid", outputs, sr, step=step)
             mean = {
                 f"valid/{k}": float(np.mean([v[k] for v in vals]))
                 for k in vals[0]
