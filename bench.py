@@ -180,16 +180,40 @@ def main():
     args, B, length = build_workload(B=B, length=length)
     (carry, steps, sp, bp, hp, bm, hm, consts) = args
 
-    # warmup (compile)
-    out = simulate_chunk(carry, steps, sp, bp, hp, bm, hm, consts)
-    jax.block_until_ready(out)
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1" and any(
+        d.platform != "cpu" for d in jax.devices()
+    )
+    if use_pallas:
+        from torch_fdtd_string_tpu.ops.pallas_step import pluck_chunked
+
+        T = (sp.f0.shape[1] - 2) // 512 * 512
+
+        def run():
+            return pluck_chunked(
+                sp.f0[:, 2 : 2 + T], sp.kappa, sp.alpha, sp.pos, sp.T60,
+                carry.u1, carry.u2, carry.z1, carry.z2,
+                k=consts.k, theta_t=consts.theta_t, lambda_c=consts.lambda_c,
+                M_t=consts.M_t, M_l=consts.M_l, chunk=512, coupling_iters=3,
+                surface_integral=consts.surface_integral,
+            )
+
+        try:
+            jax.block_until_ready(run())
+        except Exception as err:  # Mosaic rejection -> XLA engine fallback
+            sys.stderr.write(f"[bench] pallas kernel unavailable: {err}\n")
+            use_pallas = False
+    if not use_pallas:
+
+        def run():
+            return simulate_chunk(carry, steps, sp, bp, hp, bm, hm, consts)
+
+        jax.block_until_ready(run())
 
     reps = int(os.environ.get("BENCH_REPS", "3"))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = simulate_chunk(carry, steps, sp, bp, hp, bm, hm, consts)
-        jax.block_until_ready(out)
+        jax.block_until_ready(run())
         times.append(time.perf_counter() - t0)
     wall = min(times)
     audio_sec = B * length
