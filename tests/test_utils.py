@@ -1,0 +1,167 @@
+"""Unit tests: config composer, WAV I/O, audio utils, DDSP ops, losses, f0."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+CONFIG_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "torch_fdtd_string_tpu",
+    "configs",
+)
+
+
+def test_config_composer_precedence():
+    from torch_fdtd_string_tpu.utils.config import compose
+
+    cfg = compose(CONFIG_DIR, ["experiment=nsynth-like", "task.num_samples=3"])
+    assert cfg.task._name_ == "simulate"
+    assert cfg.task.num_samples == 3  # CLI beats experiment beats task default
+    assert cfg.task.batch_size == 24  # experiment beats task default
+    assert cfg.model.excitation == "pluck"
+    assert cfg.proc.simulate is True
+
+    cfg2 = compose(CONFIG_DIR, ["experiment=synth-dmsp", "optimizer=adamw"])
+    assert cfg2.optimizer._name_ == "adamw"
+    assert cfg2.optimizer.lr == 0.001  # experiment body overrides group default
+    assert cfg2.scheduler._name_ == "noam"
+    assert cfg2.model.n_modes == 40
+
+
+def test_config_interpolation_and_missing():
+    from torch_fdtd_string_tpu.utils.config import compose
+
+    cfg = compose(CONFIG_DIR, [])
+    assert cfg.task.result_dir.startswith("na-")  # unresolvable refs -> "na"
+    cfg2 = compose(CONFIG_DIR, ["experiment=nsynth-like"])
+    assert cfg2.task.load_config is None  # experiment overrides ??? with null
+
+
+@pytest.mark.parametrize("subtype", ["PCM_16", "PCM_24", "PCM_32", "FLOAT"])
+def test_wav_roundtrip(tmp_path, subtype):
+    from torch_fdtd_string_tpu.utils import wav as wavio
+
+    rng = np.random.default_rng(0)
+    x = np.clip(rng.normal(0, 0.3, 4801), -1, 1)
+    p = tmp_path / f"{subtype}.wav"
+    wavio.write(str(p), x, 48000, subtype)
+    y, sr = wavio.read(str(p))
+    assert sr == 48000 and y.shape == x.shape
+    tol = {"PCM_16": 1e-4, "PCM_24": 1e-6, "PCM_32": 1e-8, "FLOAT": 1e-7}[subtype]
+    np.testing.assert_allclose(y, x, atol=tol)
+
+
+def test_audio_utils():
+    from torch_fdtd_string_tpu.utils import audio
+
+    x = np.sin(np.linspace(0, 100, 48000)) * 0.25
+    xn, gain = audio.ell_infty_normalize(x)
+    assert abs(np.abs(xn).max() - 1.0) < 1e-6
+    assert audio.dB_RMS(np.zeros(100)) < -200
+    # T60_to_sigma numpy twin matches the jnp version
+    from torch_fdtd_string_tpu.ops.fdm import t60_to_sigma
+
+    T60 = np.array([[[1000.0, 20.0], [100.0, 25.0]]])
+    g = np.array([220.0])
+    K = np.array([4.4])
+    s0_np, s1_np = audio.T60_to_sigma(T60, g, K)
+    s0_j, s1_j = t60_to_sigma(jnp.asarray(T60), jnp.asarray(g), jnp.asarray(K))
+    np.testing.assert_allclose(s0_np, np.asarray(s0_j), rtol=1e-6)
+    np.testing.assert_allclose(s1_np, np.asarray(s1_j), rtol=1e-6)
+
+
+def test_ddsp_ops():
+    from torch_fdtd_string_tpu.ops import ddsp
+
+    # upsample: constant stays constant; length multiplies
+    x = jnp.ones((2, 10, 3)) * 5.0
+    y = ddsp.upsample(x, 4)
+    assert y.shape == (2, 40, 3)
+    np.testing.assert_allclose(np.asarray(y), 5.0, atol=1e-6)
+
+    # fft_convolve identity: in the reference's padding convention
+    # (signal right-padded, kernel left-padded, keep the second half) a
+    # delta at kernel index 0 reproduces the input
+    n = 64
+    sig = jnp.asarray(np.random.default_rng(0).normal(size=(1, 2, n)))
+    delta = jnp.zeros((1, 2, n)).at[..., 0].set(1.0)
+    out = ddsp.fft_convolve(sig, delta)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(sig), atol=1e-5)
+
+    # amp_to_impulse_response returns a real FIR of the target size
+    amp = jnp.ones((1, 2, 9))
+    ir = ddsp.amp_to_impulse_response(amp, 32)
+    assert ir.shape == (1, 2, 32)
+    assert np.isrealobj(np.asarray(ir))
+
+    # nyquist mask
+    amps = jnp.ones((1, 1, 4))
+    freqs = jnp.asarray([[[100.0, 1000.0, 30000.0, 100.0]]])
+    m = ddsp.remove_above_nyquist_mode(amps, freqs, 48000)
+    assert np.asarray(m)[0, 0, 2] < 1e-3 and np.asarray(m)[0, 0, 0] > 0.99
+
+    s = ddsp.scale_function(jnp.asarray([-100.0, 0.0, 100.0]))
+    s = np.asarray(s)
+    assert s[0] < 1e-5 and abs(s[1] - 2 * 0.5 ** np.log(10)) < 1e-4 and s[2] <= 2.001
+
+
+def test_modal_synth_pure_tone():
+    from torch_fdtd_string_tpu.ops.modal import modal_synth
+
+    sr, f = 48000, 440.0
+    Nt = 4800
+    w = 2 * np.pi * f / sr
+    freqs = jnp.full((1, Nt, 1), w)
+    coefs = jnp.ones((1, 1, 1))
+    damps = jnp.ones((1, Nt, 1))
+    y = np.asarray(modal_synth(freqs, coefs, damps))[0, :, 0]
+    spec = np.abs(np.fft.rfft(y * np.hanning(Nt)))
+    peak = np.fft.rfftfreq(Nt, 1 / sr)[spec.argmax()]
+    assert abs(peak - f) < 15
+
+
+def test_losses_sanity():
+    from torch_fdtd_string_tpu.models.losses import build_loss_registry, si_sdr
+
+    reg = build_loss_registry(48000, 4800)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 4800)) * 0.1)
+    y = x + 0.01 * jnp.asarray(rng.normal(size=(2, 4800)))
+
+    for name in ["l1", "sisdr", "fft", "magspec", "melspec"]:
+        fn, _ = reg[name]
+        same = float(np.asarray(fn(x, x)))
+        diff = float(np.asarray(fn(x, y)))
+        assert diff > same - 1e-6, name
+    assert float(np.asarray(si_sdr(x, x)).mean()) > 60
+
+
+def test_f0_tracker_sweep():
+    from torch_fdtd_string_tpu.utils.frequency import compute_harmonic_parameters
+
+    sr = 48000
+    t = np.arange(sr) / sr
+    f_true = 196.0
+    x = np.sin(2 * np.pi * f_true * t) * np.exp(-2 * t)
+    out = compute_harmonic_parameters(x, sr)
+    f0 = out["f0"]
+    voiced = f0 > 0
+    assert abs(np.median(f0[voiced]) - f_true) < 2.0
+
+
+def test_stack_batch_and_set_length():
+    from torch_fdtd_string_tpu.utils.data import set_length, stack_batch
+
+    x = np.arange(10.0)
+    assert set_length(x, 16, "pad").shape == (16,)
+    assert set_length(x, 5, "interpolate").shape == (5,)
+    batch = [
+        {"u_in": np.random.rand(100, 8), "f0": np.random.rand(100), "kappa": np.array(0.01)}
+        for _ in range(3)
+    ]
+    out = stack_batch(batch, Nx=16, Nt=50, x_method="pad", t_method="sequential")
+    assert out["u_in"].shape == (3, 50, 16)
+    assert out["f0"].shape == (3, 50)
+    assert out["kappa"].shape == (3,)
