@@ -66,11 +66,30 @@ def _deep_merge(base: dict, over: dict) -> dict:
     return out
 
 
+class _Loader(yaml.SafeLoader):
+    """SafeLoader with YAML-1.2-style float parsing (``1e-5`` is a float,
+    matching OmegaConf/Hydra behaviour; plain YAML 1.1 reads it as a str)."""
+
+
+_Loader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(
+        r"""^(?:[-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+        |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+        |[-+]?\.[0-9_]+(?:[eE][-+][0-9]+)?
+        |[-+]?\.(?:inf|Inf|INF)
+        |\.(?:nan|NaN|NAN))$""",
+        re.X,
+    ),
+    list("-+0123456789."),
+)
+
+
 def _load_yaml(path):
     with open(path) as f:
         text = f.read()
     is_global = bool(re.search(r"^#\s*@package\s+_global_", text, re.M))
-    data = yaml.safe_load(text) or {}
+    data = yaml.load(text, Loader=_Loader) or {}
     return data, is_global
 
 
@@ -126,7 +145,7 @@ class Composer:
 
 def _parse_value(text: str):
     try:
-        return yaml.safe_load(text)
+        return yaml.load(text, Loader=_Loader)
     except yaml.YAMLError:
         return text
 
