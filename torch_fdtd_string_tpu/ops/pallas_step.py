@@ -63,20 +63,53 @@ def _pcr(sub, diag, sup, rhs, levels):
     return d / b
 
 
+def _gather_lanes(z, idx, M_pad):
+    """out[b, i] = z[b, idx[b, i]] for lane widths beyond one vreg.
+
+    Mosaic's dynamic lane gather handles a single 128-lane vreg only
+    ("Multiple source vregs along gather dimension" otherwise), so the
+    gather is decomposed into 128-lane source/output blocks combined with
+    block-membership masks.
+    """
+    B = z.shape[0]
+    nblk = M_pad // 128
+    if nblk <= 1:
+        return jnp.take_along_axis(z, idx, axis=1)
+    out_blocks = []
+    for ob in range(nblk):
+        idx_b = idx[:, ob * 128 : (ob + 1) * 128]
+        acc = jnp.zeros((B, 128), z.dtype)
+        for sb in range(nblk):
+            src = z[:, sb * 128 : (sb + 1) * 128]
+            sel = (idx_b // 128) == sb
+            g = jnp.take_along_axis(src, jnp.where(sel, idx_b - sb * 128, 0), axis=1)
+            acc = acc + jnp.where(sel, g, 0.0)
+        out_blocks.append(acc)
+    return jnp.concatenate(out_blocks, axis=1)
+
+
 def _interp(z, n_in, n_out, M_out, M_in):
     """align_corners linear resample of the first n_in lanes onto n_out
-    lanes (per-sublane counts); gather along lanes."""
-    i = jax.lax.broadcasted_iota(jnp.int32, (z.shape[0], M_out), 1).astype(z.dtype)
+    lanes (per-sublane counts)."""
+    B = z.shape[0]
+    M_big = max(M_in, M_out)
+    M_pad = ((M_big + 127) // 128) * 128
+    if M_in < M_pad:
+        z = jnp.concatenate(
+            [z, jnp.zeros((B, M_pad - M_in), z.dtype)], axis=1
+        )
+    i = jax.lax.broadcasted_iota(jnp.int32, (B, M_pad), 1).astype(z.dtype)
     denom = jnp.maximum(n_out - 1.0, 1.0)
     pos = jnp.clip(i * (n_in - 1.0) / denom, 0.0, n_in - 1.0)
     lo = jnp.floor(pos)
     frac = pos - lo
     lo_i = jnp.clip(lo.astype(jnp.int32), 0, M_in - 1)
     hi_i = jnp.clip(lo_i + 1, 0, M_in - 1)
-    z_lo = jnp.take_along_axis(z, lo_i, axis=1)
-    z_hi = jnp.take_along_axis(z, hi_i, axis=1)
+    z_lo = _gather_lanes(z, lo_i, M_pad)
+    z_hi = _gather_lanes(z, hi_i, M_pad)
     out = z_lo * (1.0 - frac) + z_hi * frac
-    return out * (i < n_out)
+    out = out * (i < n_out)
+    return out[:, :M_out]
 
 
 class PluckKernelConsts(NamedTuple):
@@ -97,7 +130,7 @@ def _kernel(consts: PluckKernelConsts,
             # outputs
             uout_ref, zout_ref, u1_out, u2_out, z1_out, z2_out,
             # scratch
-            u1s, u2s, z1s, z2s):
+            u1s, u2s, z1s, z2s, uacc, zacc):
     k = consts.k
     theta = consts.theta_t
     M_t, M_l = consts.M_t, consts.M_l
@@ -116,11 +149,16 @@ def _kernel(consts: PluckKernelConsts,
     alpha = alpha_ref[:]
     pos = pos_ref[:]
     t60 = t60_ref[:]  # (B, 4): freq1, time1, freq2, time2
-    it_t = jax.lax.broadcasted_iota(jnp.int32, (u1_in.shape[0], M_t), 1)
-    it_l = jax.lax.broadcasted_iota(jnp.int32, (u1_in.shape[0], M_l), 1)
+    B = u1_in.shape[0]
+    it_t = jax.lax.broadcasted_iota(jnp.int32, (B, M_t), 1)
+    it_l = jax.lax.broadcasted_iota(jnp.int32, (B, M_l), 1)
+    # Mosaic forbids dynamic single-lane loads/stores; per-step scalar
+    # reads/writes go through full-width masked reduce/select instead.
+    it_T = jax.lax.broadcasted_iota(jnp.int32, (B, consts.chunk), 1)
 
     def step(t, _):
-        f0 = f0_ref[:, pl.ds(t, 1)]  # (B, 1)
+        sel_T = it_T == t
+        f0 = jnp.sum(jnp.where(sel_T, f0_ref[:], 0.0), axis=1, keepdims=True)
         gamma = 2.0 * f0
         K = kappa * gamma
         two_t = 2.0 * theta - 1.0
@@ -265,8 +303,8 @@ def _kernel(consts: PluckKernelConsts,
             z_out = ((1.0 - z_rf) * jnp.sum(sel_z * z_n, -1, keepdims=True)
                      + z_rf * jnp.sum(sel_z1 * z_n, -1, keepdims=True))
 
-        uout_ref[:, pl.ds(t, 1)] = u_out
-        zout_ref[:, pl.ds(t, 1)] = z_out
+        uacc[:] = jnp.where(sel_T, u_out, uacc[:])
+        zacc[:] = jnp.where(sel_T, z_out, zacc[:])
         u2s[:] = u1s[:]
         u1s[:] = u_n
         z2s[:] = z1s[:]
@@ -275,6 +313,8 @@ def _kernel(consts: PluckKernelConsts,
 
     jax.lax.fori_loop(0, consts.chunk, step, 0)
 
+    uout_ref[:] = uacc[:]
+    zout_ref[:] = zacc[:]
     u1_out[:] = u1s[:]
     u2_out[:] = u2s[:]
     z1_out[:] = z1s[:]
@@ -339,6 +379,8 @@ def pluck_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
             pltpu.VMEM((B, M_t), dtype),
             pltpu.VMEM((B, M_l), dtype),
             pltpu.VMEM((B, M_l), dtype),
+            pltpu.VMEM((B, chunk), dtype),
+            pltpu.VMEM((B, chunk), dtype),
         ],
         interpret=interpret,
     )(
