@@ -193,7 +193,7 @@ def main():
                 sp.f0[:, 2 : 2 + T], sp.kappa, sp.alpha, sp.pos, sp.T60,
                 carry.u1, carry.u2, carry.z1, carry.z2,
                 k=consts.k, theta_t=consts.theta_t, lambda_c=consts.lambda_c,
-                M_t=consts.M_t, M_l=consts.M_l, chunk=512, coupling_iters=3,
+                M_t=consts.M_t, M_l=consts.M_l, chunk=512, coupling_iters=24,
                 surface_integral=consts.surface_integral,
             )
 
