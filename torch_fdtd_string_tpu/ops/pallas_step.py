@@ -82,13 +82,17 @@ class PluckKernelConsts(NamedTuple):
     chunk: int
     coupling_iters: int
     surface_integral: bool
+    collect_state: bool = False
 
 
-def _kernel(consts: PluckKernelConsts,
-            f0_ref, kappa_ref, alpha_ref, pos_ref, t60_ref,
-            u1_in, u2_in, z1_in, z2_in,
-            uout_ref, zout_ref, u1_out, u2_out, z1_out, z2_out,
-            u1s, u2s, z1s, z2s, uacc, zacc):
+def _kernel(consts: PluckKernelConsts, *refs):
+    (f0_ref, kappa_ref, alpha_ref, pos_ref, t60_ref,
+     u1_in, u2_in, z1_in, z2_in) = refs[:9]
+    n_out = 8 if consts.collect_state else 6
+    outs = refs[9 : 9 + n_out]
+    uout_ref, zout_ref, u1_out, u2_out, z1_out, z2_out = outs[:6]
+    su_ref, sz_ref = (outs[6], outs[7]) if consts.collect_state else (None, None)
+    u1s, u2s, z1s, z2s, uacc, zacc = refs[9 + n_out :]
     k = consts.k
     theta = consts.theta_t
     M_t, M_l = consts.M_t, consts.M_l
@@ -99,6 +103,8 @@ def _kernel(consts: PluckKernelConsts,
     dt = u1_in.dtype
 
     def _pad(x, M_live):
+        if M_live == MP:
+            return x
         return jnp.concatenate([x, jnp.zeros((B, MP - M_live), dt)], axis=1)
 
     @pl.when(ci == 0)
@@ -350,6 +356,11 @@ def _kernel(consts: PluckKernelConsts,
 
         uacc[:] = jnp.where(sel_T, u_out, uacc[:])
         zacc[:] = jnp.where(sel_T, z_out, zacc[:])
+        if consts.collect_state:
+            # full padded width: unaligned lane slices inside dynamic-index
+            # stores upset Mosaic; the host slices to M_t/M_l afterwards
+            su_ref[pl.ds(t, 1)] = u_n[None]
+            sz_ref[pl.ds(t, 1)] = z_n[None]
         u2s[:] = u1s[:]
         u1s[:] = u_n
         z2s[:] = z1s[:]
@@ -369,15 +380,16 @@ def _kernel(consts: PluckKernelConsts,
 def pluck_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
                   k, theta_t, lambda_c, M_t, M_l, chunk=512,
                   coupling_iters=24, surface_integral=False, interpret=False,
-                  batch_block=32):
+                  batch_block=32, collect_state=False):
     """Run the fused pluck kernel over a full (B, T) control signal.
 
-    Returns (uout (B, T), zout (B, T), final carry (u1, u2, z1, z2)).
-    ``T`` must be a multiple of ``chunk``.  Large batches are processed in
-    ``batch_block``-row groups via an outer grid dimension so the stacked
-    gather/PCR temporaries stay under the scoped-VMEM limit; the time
-    dimension is the minor grid axis, so state scratch re-initialises at
-    chunk 0 of each batch block.
+    Returns ``(uout (B, T), zout (B, T), final carry (u1, u2, z1, z2))``,
+    plus ``(state_u (T, B, M_t), state_z (T, B, M_l))`` appended to the
+    carry tuple when ``collect_state`` is set.  ``T`` must be a multiple of
+    ``chunk``.  Large batches are processed in ``batch_block``-row groups
+    via an outer grid dimension so the gather/PCR temporaries stay under the
+    scoped-VMEM limit; the time dimension is the minor grid axis, so state
+    scratch re-initialises at chunk 0 of each batch block.
     """
     B, T = f0.shape
     assert T % chunk == 0, (T, chunk)
@@ -389,26 +401,43 @@ def pluck_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
     consts = PluckKernelConsts(
         k=float(k), theta_t=float(theta_t), lambda_c=float(lambda_c),
         M_t=M_t, M_l=M_l, chunk=chunk, coupling_iters=coupling_iters,
-        surface_integral=surface_integral,
+        surface_integral=surface_integral, collect_state=collect_state,
     )
     t60_flat = jnp.stack(
         [t60[:, 0, 0], t60[:, 0, 1], t60[:, 1, 0], t60[:, 1, 1]], axis=1
     )
     dtype = f0.dtype
     kernel = functools.partial(_kernel, consts)
-    out_shape = (
+    out_shape = [
         jax.ShapeDtypeStruct((B, T), dtype),  # uout
         jax.ShapeDtypeStruct((B, T), dtype),  # zout
         jax.ShapeDtypeStruct((B, M_t), dtype),
         jax.ShapeDtypeStruct((B, M_t), dtype),
         jax.ShapeDtypeStruct((B, M_l), dtype),
         jax.ShapeDtypeStruct((B, M_l), dtype),
-    )
+    ]
     bbspec = lambda w: pl.BlockSpec((BB, w), lambda b, i: (b, 0), memory_space=pltpu.VMEM)
     tspec = pl.BlockSpec((BB, chunk), lambda b, i: (b, i), memory_space=pltpu.VMEM)
+    out_specs = [
+        tspec,
+        tspec,
+        bbspec(M_t),
+        bbspec(M_t),
+        bbspec(M_l),
+        bbspec(M_l),
+    ]
+    if collect_state:
+        out_shape += [
+            jax.ShapeDtypeStruct((T, B, MP), dtype),
+            jax.ShapeDtypeStruct((T, B, MP), dtype),
+        ]
+        sspec = pl.BlockSpec(
+            (chunk, BB, MP), lambda b, i: (i, b, 0), memory_space=pltpu.VMEM
+        )
+        out_specs += [sspec, sspec]
     outs = pl.pallas_call(
         kernel,
-        out_shape=out_shape,
+        out_shape=tuple(out_shape),
         grid=(n_bb, n_chunks),
         in_specs=[
             tspec,
@@ -421,14 +450,7 @@ def pluck_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
             bbspec(M_l),
             bbspec(M_l),
         ],
-        out_specs=(
-            tspec,
-            tspec,
-            bbspec(M_t),
-            bbspec(M_t),
-            bbspec(M_l),
-            bbspec(M_l),
-        ),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((BB, MP), dtype),
             pltpu.VMEM((BB, MP), dtype),
@@ -449,5 +471,8 @@ def pluck_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
         z1,
         z2,
     )
-    uout, zout, u1f, u2f, z1f, z2f = outs
-    return uout, zout, (u1f, u2f, z1f, z2f)
+    uout, zout = outs[0], outs[1]
+    carry_out = tuple(outs[2:6])
+    if collect_state:
+        carry_out = carry_out + (outs[6][:, :, :M_t], outs[7][:, :, :M_l])
+    return uout, zout, carry_out

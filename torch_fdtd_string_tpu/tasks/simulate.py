@@ -51,6 +51,98 @@ def _to_device(tree, device):
     return jax.tree.map(lambda x: jax.device_put(x, device), tree)
 
 
+def _pallas_eligible(consts: SimConsts, device, dtype):
+    """The fused TPU kernel covers the pluck path (no bow/hammer/MMS, f32)."""
+    import os
+
+    if os.environ.get("FDTD_NO_PALLAS") == "1":
+        return False
+    if device is None or getattr(device, "platform", "cpu") == "cpu":
+        return False
+    import numpy as _np
+
+    return (
+        not consts.has_bow
+        and not consts.has_hammer
+        and not consts.manufactured
+        and dtype == _np.float32
+    )
+
+
+def _process_pallas(state, hammer, consts: SimConsts, Nt, sr, collect_state):
+    """Whole-run fused-kernel path (ops/pallas_step.py).
+
+    Control signals are edge-padded up to a chunk multiple; the surplus
+    steps are discarded (each sample is independent, so the advanced carry
+    is unused).  Bow/hammer probe artifacts are zero on this path (the
+    excitations are absent) and the free hammer-displacement ramp is
+    reproduced in closed form.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.pallas_step import pluck_chunked
+
+    chunk = 128 if collect_state else 512
+    bblock = 8 if collect_state else 32
+    B = state.u0.shape[0]
+    while B % bblock:
+        bblock //= 2
+    T = Nt - 2
+    T_pad = ((T + chunk - 1) // chunk) * chunk
+    f0 = np.concatenate(
+        [state.f0[:, 2:Nt], np.repeat(state.f0[:, -1:], T_pad - T, axis=1)], axis=1
+    ).astype(np.float32)
+
+    u1_init, u2_init = fdm.initialize_state_rows(state.u0, state.v0, consts.k)
+    M_l = consts.M_l
+    uout, zout, fin = pluck_chunked(
+        jnp.asarray(f0),
+        jnp.asarray(state.kappa, jnp.float32),
+        jnp.asarray(state.alpha, jnp.float32),
+        jnp.asarray(state.pos, jnp.float32),
+        jnp.asarray(state.T60, jnp.float32),
+        jnp.asarray(u1_init, jnp.float32),
+        jnp.asarray(u2_init, jnp.float32),
+        jnp.zeros((B, M_l), jnp.float32),
+        jnp.zeros((B, M_l), jnp.float32),
+        k=consts.k,
+        theta_t=consts.theta_t,
+        lambda_c=consts.lambda_c,
+        M_t=consts.M_t,
+        M_l=M_l,
+        chunk=chunk,
+        batch_block=bblock,
+        surface_integral=consts.surface_integral,
+        collect_state=collect_state,
+    )
+    uout = np.asarray(uout)[:, :T]
+    zout = np.asarray(zout)[:, :T]
+
+    # closed-form free hammer ramp (engine fast path semantics)
+    uH1 = hammer.u_H[:, 1]
+    vstep = hammer.u_H[:, 1] - hammer.u_H[:, 0]
+    n = np.arange(1, T + 1)[None, :]
+    u_H = np.maximum(uH1[:, None] + n * vstep[:, None], -0.01 + 0.0) / consts.k
+    zeros = np.zeros_like(uout)
+
+    from ..utils.audio import T60_to_sigma
+
+    gamma = 2.0 * state.f0[:, -1]
+    sig0, sig1 = T60_to_sigma(state.T60, gamma, state.kappa * gamma)
+
+    if collect_state:
+        su = np.asarray(fin[4])[:T].transpose(1, 0, 2)  # (B, T, M_t)
+        sz = np.asarray(fin[5])[:T].transpose(1, 0, 2)
+        state_u = np.concatenate(
+            [u2_init[:, None].astype(np.float32), u1_init[:, None].astype(np.float32), su],
+            axis=1,
+        )
+        state_z = np.concatenate([np.zeros((B, 2, M_l), np.float32), sz], axis=1)
+    else:
+        state_u = state_z = None
+    return uout, zout, state_u, state_z, zeros, zeros, u_H, sig0, sig1
+
+
 def process(
     state,
     bow,
@@ -70,10 +162,17 @@ def process(
 
     The reference re-feeds the last two state rows of each chunk as the first
     two of the next (2-sample overlap, simulate.py:57-107); the scan carry
-    implements the same recursion directly.  Returns numpy outputs.
+    implements the same recursion directly.  On TPU, eligible pluck runs use
+    the fused Pallas kernel.  Returns numpy outputs.
     """
     import jax
     import jax.numpy as jnp
+
+    if _pallas_eligible(consts, device, np.float32 if state.u0.dtype != np.float64 else np.float64):
+        try:
+            return _process_pallas(state, hammer, consts, Nt, sr, collect_state)
+        except Exception as err:  # Mosaic/driver issues -> XLA engine fallback
+            print(f"[simulate] pallas path unavailable ({err}); using XLA engine")
 
     dtype = jnp.float64 if state.u0.dtype == np.float64 else jnp.float32
     B = state.u0.shape[0]
@@ -393,9 +492,19 @@ def run(args, save_dir, model_name, n_samples):
     os.makedirs(save_dir, exist_ok=True)
     collect_state = bool(task.save or task.plot or task.plot_state)
 
+    import concurrent.futures
+
     import jax
 
+    pool = concurrent.futures.ThreadPoolExecutor(
+        max_workers=max(int(args.proc.num_workers), 1)
+    )
+    pending = []
+
     for it in _progress(range(n_samples), "Simulating"):
+        # bound the in-flight artifact queue to ~one iteration's items
+        while len(pending) > task.batch_size:
+            pending.pop(0).result()
         dx = str(it) if not task.randomize_name else ms.random_str(rng=rng)
         save_path = f"{save_dir}/{dx}/{sr}" if task.write_during_process else None
 
@@ -452,23 +561,15 @@ def run(args, save_dir, model_name, n_samples):
         ]
 
         wout = uout + zout
-        for b in range(task.batch_size):
-            if state_is_nan[b]:
-                continue
-            if task.skip_silence and is_silent[b]:
-                continue
-            excitation = ",".join(
-                t
-                for t, m in (
-                    ("bow", bow_mask[b]),
-                    ("hammer", hammer_mask[b]),
-                    ("pluck", pluck_mask[b]),
-                )
-                if m
-            )
-            d = f"{save_dir}/{dx}-{b}"
-            if task.plot or task.plot_state or task.save:
-                os.makedirs(d, exist_ok=True)
+
+        # default-arg binding snapshots this iteration's arrays by value so
+        # the writes can overlap the next iteration's simulation
+        def _save_item(b, d, excitation, uout=uout, zout=zout, state_u=state_u,
+                       state_z=state_z, v_r=v_r, F_H=F_H, u_H=u_H,
+                       string=string, bow=bow, hammer=hammer, Nx_t=Nx_t,
+                       Nx_l=Nx_l, sig0=sig0, sig1=sig1,
+                       bow_mask=bow_mask, hammer_mask=hammer_mask,
+                       pluck_mask=pluck_mask):
             bitrate = "PCM_24" if task.precision == "double" else "PCM_16"
             if task.normalize_output:
                 u_n, gain = audio.ell_infty_normalize(uout[b])
@@ -536,4 +637,24 @@ def run(args, save_dir, model_name, n_samples):
                 from ..utils import plot as uplot
 
                 uplot.state_video(d, state_u[b, :, : int(Nx_t[b].max()) + 1], sr)
+
+        for b in range(task.batch_size):
+            if state_is_nan[b]:
+                continue
+            if task.skip_silence and is_silent[b]:
+                continue
+            excitation = ",".join(
+                t
+                for t, m in (
+                    ("bow", bow_mask[b]),
+                    ("hammer", hammer_mask[b]),
+                    ("pluck", pluck_mask[b]),
+                )
+                if m
+            )
+            d = f"{save_dir}/{dx}-{b}"
+            pending.append(pool.submit(_save_item, b, d, excitation))
+    for f in pending:
+        f.result()
+    pool.shutdown(wait=True)
     return time_log
