@@ -105,11 +105,29 @@ def jnp_minimum(a, b):
 
 
 def build(opt_name, opt_conf, sch_name, sch_conf, grad_clip=None):
+    """Returns (tx, schedule, needs_value).
+
+    ``needs_value=True`` means ``tx.update`` takes a ``value=loss`` kwarg
+    (reduce-on-plateau: the torch ReduceLROnPlateau equivalent, driven by the
+    training loss instead of an epoch callback).
+    """
     base_lr = opt_conf.get("lr", 1e-3)
     schedule = get_schedule(sch_name, base_lr, sch_conf or {})
     conf = dict(opt_conf)
     conf["lr"] = schedule
     tx = get_optimizer(opt_name, conf)
+    needs_value = False
+    if sch_name and sch_name.lower() == "plateau":
+        sc = sch_conf or {}
+        tx = optax.chain(
+            tx,
+            optax.contrib.reduce_on_plateau(
+                factor=sc.get("factor", 0.2),
+                patience=sc.get("patience", 20),
+                min_scale=sc.get("min_lr", 0.0) / max(base_lr, 1e-12),
+            ),
+        )
+        needs_value = True
     if grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(float(grad_clip)), tx)
-    return tx, schedule
+    return tx, schedule, needs_value

@@ -129,7 +129,8 @@ def compute_losses(outputs, registry, criteria):
     return total, loss_dict
 
 
-def make_train_step(model, tx, registry, criteria, inharmonic=True):
+def make_train_step(model, tx, registry, criteria, inharmonic=True,
+                    needs_value=False):
     import jax
 
     def loss_fn(params, constants, prep, rng):
@@ -144,7 +145,8 @@ def make_train_step(model, tx, registry, criteria, inharmonic=True):
         (_, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.constants, prep, rng
         )
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        kw = {"value": loss_dict["loss"]} if needs_value else {}
+        updates, new_opt = tx.update(grads, state.opt_state, state.params, **kw)
         import optax
 
         new_params = optax.apply_updates(state.params, updates)

@@ -128,7 +128,7 @@ def train(args, save_dir):
     gc = task.grad_clip
     if isinstance(gc, (list, tuple)) and gc and gc[0]:
         grad_clip = gc[0]
-    tx, schedule = optlib.build(
+    tx, schedule, needs_value = optlib.build(
         args.optimizer._name_, dict(args.optimizer),
         args.get("scheduler", {}).get("_name_") if args.get("scheduler") else None,
         dict(args.get("scheduler") or {}),
@@ -141,7 +141,7 @@ def train(args, save_dir):
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"[trainer] params: {n_params/1e6:.2f}M; criteria: {criteria}")
 
-    train_step = S.make_train_step(model, tx, registry, criteria, inharmonic)
+    train_step = S.make_train_step(model, tx, registry, criteria, inharmonic, needs_value)
     eval_step = S.make_eval_step(model, registry, criteria, inharmonic)
 
     step = 0
