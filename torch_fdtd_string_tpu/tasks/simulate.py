@@ -131,8 +131,14 @@ def _process_pallas(state, hammer, consts: SimConsts, Nt, sr, collect_state):
     sig0, sig1 = T60_to_sigma(state.T60, gamma, state.kappa * gamma)
 
     if collect_state:
-        su = np.asarray(fin[4])[:T].transpose(1, 0, 2)  # (B, T, M_t)
-        sz = np.asarray(fin[5])[:T].transpose(1, 0, 2)
+        su_d, sz_d = fin[4], fin[5]
+        if os.environ.get("FDTD_STATE_F16") == "1":
+            # halve the device->host transfer (this environment's TPU tunnel
+            # moves <6 MB/s; real hosts do GB/s) at ~1e-3 relative precision
+            su_d = su_d.astype(jnp.float16)
+            sz_d = sz_d.astype(jnp.float16)
+        su = np.asarray(su_d)[:T].astype(np.float32).transpose(1, 0, 2)
+        sz = np.asarray(sz_d)[:T].astype(np.float32).transpose(1, 0, 2)
         state_u = np.concatenate(
             [u2_init[:, None].astype(np.float32), u1_init[:, None].astype(np.float32), su],
             axis=1,
