@@ -52,3 +52,27 @@ def test_toeplitz_coeffs_and_solve():
         ) + np.diag(np.full(m - 1, float(a[i])), -1)
         ref = np.linalg.solve(T, rhs[i][:m])
         np.testing.assert_allclose(x[i][:m], ref, atol=1e-10)
+
+
+def test_dst_toeplitz_solve_matches_dense():
+    from torch_fdtd_string_tpu.ops.tridiag import dst_toeplitz_solve
+
+    rng = np.random.default_rng(3)
+    B, M = 3, 48
+    a = jnp.array([0.2, -0.15, 0.0])
+    c = jnp.array([0.2, -0.15, 0.0])  # symmetric Toeplitz
+    b = jnp.array([1.4, 1.1, 2.0])
+    n = jnp.array([48.0, 31.0, 7.0])
+    rhs = rng.normal(size=(B, M)) * (np.arange(M)[None] < np.asarray(n)[:, None])
+    x = np.asarray(dst_toeplitz_solve(a, b, c, n, jnp.array(rhs)))
+    for i in range(B):
+        m = int(n[i])
+        T = (
+            np.diag(np.full(m, float(b[i])))
+            + np.diag(np.full(m - 1, float(a[i])), -1)
+            + np.diag(np.full(m - 1, float(c[i])), 1)
+        )
+        ref = np.linalg.solve(T, rhs[i][:m])
+        np.testing.assert_allclose(x[i][:m], ref, atol=1e-8)
+        if m < M:
+            assert np.abs(x[i][m:]).max() < 1e-10

@@ -68,6 +68,36 @@ def tridiag_solve(sub, diag, sup, rhs):
     return d / b
 
 
+def dst_toeplitz_solve(a, b, c, n, rhs):
+    """Closed-form Toeplitz-tridiagonal solve via the sine eigenbasis.
+
+    The reference ships this as ``tridiagonal_inverse`` (misc.cpp:228-252 /
+    fdm.py:9-21) but leaves it out of the hot path; it is exact for a
+    Toeplitz tridiag(a, b, c) of size n (eigenvalues
+    ``b + (a+c) cos(k pi / (n+1))``, eigenvectors ``sin(jk pi/(n+1))``)
+    and MXU-friendly (two batched matmuls).  PCR is cheaper per step for
+    the engine, but this form is useful for spectral analysis and tests.
+
+    a, b, c: (B,) constant diagonals; n: (B,) live sizes; rhs: (B, M).
+    """
+    B, M = rhs.shape
+    dtype = rhs.dtype
+    j = jnp.arange(1, M + 1, dtype=dtype)
+    nb = n[:, None]
+    k = j[None, :]
+    lam = b[:, None] + (a + c)[:, None] * jnp.cos(k * jnp.pi / (nb + 1.0))
+    live = k <= nb
+    lam = jnp.where(live, lam, 1.0)
+    V = jnp.sqrt(2.0 / (nb + 1.0))[..., None] * jnp.sin(
+        j[None, :, None] * j[None, None, :] * jnp.pi / (nb + 1.0)[..., None]
+    )
+    V = V * live[:, :, None] * live[:, None, :]
+    y = jnp.einsum("bij,bj->bi", V, rhs * live)
+    y = y / lam
+    x = jnp.einsum("bij,bj->bi", V, y)
+    return x * live
+
+
 def toeplitz_tridiag_coeffs(a, b, n, M, dtype=None):
     """Masked Toeplitz-tridiagonal coefficient arrays for per-element size n.
 

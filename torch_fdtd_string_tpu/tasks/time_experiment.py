@@ -76,13 +76,25 @@ def run_sweep(out_dir=".", batches=(4, 16, 64, 256), lengths=(0.25, 0.5, 1.0),
     on_accel = any(d.platform != "cpu" for d in jax.devices())
     results = {"backend": jax.devices()[0].platform, "batch": {}, "length": {}}
 
+    def _try(fn, wl, label):
+        try:
+            return fn(wl)
+        except Exception as err:
+            print(f"[time_experiment] {label} failed: {str(err)[:120]}", flush=True)
+            return None
+
     curves_b = {"pallas": [], "engine": []}
     for B in batches:
         wl = _workload(B, 1.0, 98.0)[0]
         if on_accel:
-            curves_b["pallas"].append((B, _time_pallas(wl)))
-        if with_engine and B <= 64:
-            curves_b["engine"].append((B, _time_engine(wl)))
+            t = _try(_time_pallas, wl, f"pallas b{B}")
+            if t:
+                curves_b["pallas"].append((B, t))
+        if with_engine and B <= 16:
+            wl_s = _workload(B, 0.25, 98.0)[0]
+            t = _try(_time_engine, wl_s, f"engine b{B}")
+            if t:
+                curves_b["engine"].append((B, 4 * t))  # scaled to 1 s
         print(f"[time_experiment] batch={B} done", flush=True)
     results["batch"] = curves_b
 
@@ -90,9 +102,13 @@ def run_sweep(out_dir=".", batches=(4, 16, 64, 256), lengths=(0.25, 0.5, 1.0),
     for L in lengths:
         wl = _workload(16, L, 98.0)[0]
         if on_accel:
-            curves_l["pallas"].append((L, _time_pallas(wl)))
-        if with_engine and L <= 0.5:
-            curves_l["engine"].append((L, _time_engine(wl)))
+            t = _try(_time_pallas, wl, f"pallas l{L}")
+            if t:
+                curves_l["pallas"].append((L, t))
+        if with_engine and L <= 0.25:
+            t = _try(_time_engine, wl, f"engine l{L}")
+            if t:
+                curves_l["engine"].append((L, t))
         print(f"[time_experiment] length={L} done", flush=True)
     results["length"] = curves_l
 

@@ -113,3 +113,43 @@ def save_simulation_data(directory, excitation_type, overall_results, constants)
     np.savez_compressed(f"{directory}/bow_params.npz", **bow_dict)
     with open(f"{directory}/simulation_config.yaml", "w") as f:
         yaml.dump(short, f, default_flow_style=False)
+
+
+def minmax_normalize(x, axis=-1):
+    """(reference misc.py:156-161)."""
+    x = np.asarray(x)
+    x_min = x.min(axis=axis, keepdims=True)
+    x = x - x_min
+    x_max = x.max(axis=axis, keepdims=True)
+    return x / np.where(x_max == 0, 1.0, x_max)
+
+
+def get_minmax(x):
+    """(reference misc.py:163-166)."""
+    x = np.asarray(x)
+    if np.isnan(x.sum()):
+        return None, None
+    return np.nan_to_num(x.min()), np.nan_to_num(x.max())
+
+
+def batched_index_select(x, dim, index):
+    """Select ``index`` along ``dim`` (reference misc.py:183-193)."""
+    return np.take(np.asarray(x), np.asarray(index, int), axis=dim)
+
+
+def random_index(max_N, idx_N, rng=None):
+    """(reference misc.py:195-201)."""
+    rng = rng or np.random.default_rng()
+    if max_N < idx_N:
+        return rng.integers(0, max_N, idx_N)
+    return rng.permutation(max_N)[:idx_N]
+
+
+def add_noise(x, c, vals, eps=1e-5, rng=None):
+    """Add noise where a condition array matches values (misc.py:301-306)."""
+    rng = rng or np.random.default_rng()
+    x = np.asarray(x).copy()
+    noise = eps * rng.standard_normal(x.shape)
+    for val in vals:
+        x = x + (np.asarray(c) == val) * noise
+    return x
