@@ -54,3 +54,94 @@ def test_pallas_pluck_matches_engine():
     u_out_eng = np.asarray(o["uout"]).T
     err = np.abs(np.asarray(uout) - u_out_eng).max() / (np.abs(u_out_eng).max() + 1e-12)
     assert err < 2e-4, err
+
+
+def _exc_cfg(exc):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_golden_reference import _make_cfg
+
+    return _make_cfg(146.8 if exc == "hammer" else 110.0, 0.02, 2.0, exc)
+
+
+import os
+
+
+@pytest.mark.parametrize("exc", ["hammer", "bow"])
+def test_pallas_excitations_match_engine(exc):
+    from torch_fdtd_string_tpu.core.engine import (
+        BowParams,
+        Carry,
+        HammerParams,
+        SimConsts,
+        StringParams,
+        simulate_chunk,
+    )
+    from torch_fdtd_string_tpu.ops.pallas_step import string_chunked
+
+    cfg, _ = _exc_cfg(exc)
+    dt = jnp.float32
+    B = cfg["B"]
+    sp = StringParams(
+        kappa=jnp.asarray(cfg["kappa"], dt), alpha=jnp.asarray(cfg["alpha"], dt),
+        p_a=jnp.asarray(cfg["p_a"], dt), f0=jnp.asarray(cfg["f0"], dt),
+        pos=jnp.asarray(cfg["pos"], dt), T60=jnp.asarray(cfg["T60"], dt),
+    )
+    bp = BowParams(
+        x_b=jnp.asarray(cfg["x_b"], dt), v_b=jnp.asarray(cfg["v_b"], dt),
+        F_b=jnp.asarray(cfg["F_b"], dt), phi_0=jnp.asarray(cfg["phi_0"], dt),
+        phi_1=jnp.asarray(cfg["phi_1"], dt), wid=jnp.asarray(cfg["wid"], dt),
+    )
+    hp = HammerParams(
+        x_H=jnp.asarray(cfg["x_H"], dt), w_H=jnp.asarray(cfg["w_H"], dt),
+        M_r=jnp.asarray(cfg["M_r"], dt), alpha=jnp.asarray(cfg["alpha_H"], dt),
+    )
+    uH1 = np.full(B, -1e-3 + cfg["k"] * cfg["v_H_amp"], np.float32)
+    uH2 = np.full(B, -1e-3, np.float32)
+    carry = Carry(
+        u1=jnp.asarray(cfg["u1"], dt), u2=jnp.asarray(cfg["u2"], dt),
+        z1=jnp.zeros((B, cfg["M_l"]), dt), z2=jnp.zeros((B, cfg["M_l"]), dt),
+        uH1=jnp.asarray(uH1), uH2=jnp.asarray(uH2),
+    )
+    consts = SimConsts(
+        k=cfg["k"], theta_t=cfg["theta_t"], lambda_c=1.0, relative_error=4.0,
+        M_t=cfg["M_t"], M_l=cfg["M_l"], surface_integral=False,
+        collect_state=True, has_bow=(exc == "bow"), has_hammer=(exc == "hammer"),
+    )
+    T = 128
+    steps = jnp.arange(2, 2 + T, dtype=jnp.int32)
+    _, o = simulate_chunk(
+        carry, steps, sp, bp, hp,
+        jnp.asarray(cfg["bow_mask"]), jnp.asarray(cfg["hammer_mask"]), consts,
+    )
+    u_eng = np.asarray(o["u"])
+
+    sl = lambda key: jnp.asarray(cfg[key], dt)[:, 2 : 2 + T]
+    bow = (
+        dict(x_b=sl("x_b"), v_b=sl("v_b"), F_b=sl("F_b"), wid=sl("wid"),
+             phi_0=jnp.asarray(cfg["phi_0"], dt), phi_1=jnp.asarray(cfg["phi_1"], dt),
+             mask=jnp.asarray(cfg["bow_mask"]),
+             uH1=jnp.asarray(uH1), uH2=jnp.asarray(uH2))
+        if exc == "bow" else None
+    )
+    hammer = (
+        dict(x_H=jnp.asarray(cfg["x_H"], dt), w_H=jnp.asarray(cfg["w_H"], dt),
+             M_r=jnp.asarray(cfg["M_r"], dt), alpha=jnp.asarray(cfg["alpha_H"], dt),
+             mask=jnp.asarray(cfg["hammer_mask"]),
+             uH1=jnp.asarray(uH1), uH2=jnp.asarray(uH2))
+        if exc == "hammer" else None
+    )
+    uout, zout, aux = string_chunked(
+        jnp.asarray(cfg["f0"], dt)[:, 2 : 2 + T], sp.kappa, sp.alpha, sp.pos,
+        sp.T60, carry.u1, carry.u2, carry.z1, carry.z2,
+        k=cfg["k"], theta_t=cfg["theta_t"], lambda_c=1.0,
+        M_t=cfg["M_t"], M_l=cfg["M_l"], chunk=T // 2, batch_block=8,
+        surface_integral=False, collect_state=True, bow=bow, hammer=hammer,
+        interpret=True,
+    )
+    su = np.asarray(aux["state_u"])
+    assert np.abs(su - u_eng).max() < 1e-6, np.abs(su - u_eng).max()
+    F_eng = np.asarray(o["F_H"]).T
+    scale = max(np.abs(F_eng).max(), 1.0)
+    assert np.abs(np.asarray(aux["F_H"]) - F_eng).max() / scale < 1e-3

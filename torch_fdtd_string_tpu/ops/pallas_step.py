@@ -1,31 +1,33 @@
-"""Fused Pallas TPU kernel for the pluck-path FDTD time loop.
+"""Fused Pallas TPU kernel for the string-FDTD time loop.
 
 One ``pallas_call`` runs an entire chunk of audio-rate time steps with the
 string state resident in VMEM scratch (persisting across the sequential TPU
 grid), eliminating per-step kernel dispatch and HBM state traffic entirely —
 the design target of BASELINE.json's north star.
 
-Performance structure (v5e-tuned):
-  * uniform 128-aligned lane width ``MP`` for both the transverse and
-    longitudinal grids, so every vector op has one shape and the two
-    tridiagonal systems solve as ONE stacked ``(2B, MP)`` parallel cyclic
-    reduction (halving serial solve depth);
-  * the u<->z coupling iterates as Jacobi sweeps on the stacked system
-    (the Gauss-Seidel order of the XLA engine has no batched equivalent);
-    contraction per sweep is ~||T^-1 K|| which is orders below 1, so the
-    configured sweeps reach f32 machine precision;
-  * cross-grid linear interpolation needs lane gathers; Mosaic's
-    dynamic_gather spans a single 128-lane vreg, so gathers decompose into
-    vreg blocks and all gathers of a step phase are STACKED along sublanes
-    into one block-gather pass;
-  * per-step scalar reads/writes use masked reduce/select (Mosaic forbids
-    dynamic single-lane indexing);
-  * PCR out-of-range fills are precomputed per level outside the time loop.
+Covers the full excitation set with trace-time gating (pluck runs pay
+nothing for bow/hammer code): nonlinear u<->z coupling, hard-bow friction
+(bow.cpp:10-41) and the nonlinear power-law hammer fixed point
+(hammer.cpp:11-85) re-derived on the lane-vectorised layout.
 
-Scope: the no-excitation (pluck) path with full nonlinear coupling — the
-dataset-generation workhorse (bow/hammer run on the XLA engine).  Semantics
-match ``core/engine.py``'s specialized pluck path with fixed coupling
-sweeps; validated in interpreter mode and on hardware against the engine.
+Performance structure (v5e-tuned):
+  * uniform 128-aligned lane width ``MP`` for both grids; all spatial
+    operators are lane-rolls + masks;
+  * the implicit solves are masked parallel cyclic reductions with per-level
+    fill masks hoisted out of the time loop;
+  * the excitation+coupling fixed point is ONE adaptive Gauss-Seidel loop
+    (the engine's Picard + inner coupling sweeps merged; same fixed point,
+    iterated to f32 machine precision) — Jacobi ordering diverges when the
+    state slope makes the coupling strong;
+  * cross-grid interpolation gathers decompose into single-vreg blocks
+    (Mosaic dynamic_gather limit) with lo/hi stacked into one pass;
+  * per-step scalar reads/writes use masked reduce/select (Mosaic forbids
+    dynamic single-lane indexing); the space-time state is optionally
+    streamed out via dynamic-major-index stores.
+
+Validated in interpreter mode and on hardware against the XLA engine
+(rounding-level agreement at early steps; later trajectory spread in the
+high-alpha chaotic regime is Lyapunov amplification of f32 rounding).
 """
 
 from __future__ import annotations
@@ -41,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LN10_6 = float(6.0 * np.log(10.0))
+M_HD_CLAMP = -0.01  # hammer displacement clamp (hammer.cpp:3)
 
 
 def _shift(x, s):
@@ -73,7 +76,7 @@ def _blockgather(z, idx, MP):
     return jnp.concatenate(out_blocks, axis=1)
 
 
-class PluckKernelConsts(NamedTuple):
+class KernelConsts(NamedTuple):
     k: float
     theta_t: float
     lambda_c: float
@@ -83,16 +86,79 @@ class PluckKernelConsts(NamedTuple):
     coupling_iters: int
     surface_integral: bool
     collect_state: bool = False
+    has_bow: bool = False
+    has_hammer: bool = False
+    relative_error: float = 4.0
+    hammer_max_iter: int = 40
 
 
-def _kernel(consts: PluckKernelConsts, *refs):
-    (f0_ref, kappa_ref, alpha_ref, pos_ref, t60_ref,
-     u1_in, u2_in, z1_in, z2_in) = refs[:9]
-    n_out = 8 if consts.collect_state else 6
-    outs = refs[9 : 9 + n_out]
-    uout_ref, zout_ref, u1_out, u2_out, z1_out, z2_out = outs[:6]
-    su_ref, sz_ref = (outs[6], outs[7]) if consts.collect_state else (None, None)
-    u1s, u2s, z1s, z2s, uacc, zacc = refs[9 + n_out :]
+# backwards-compatible alias
+PluckKernelConsts = KernelConsts
+
+
+def _kernel(consts: KernelConsts, *refs):
+    i = 0
+
+    def nxt():
+        nonlocal i
+        r = refs[i]
+        i += 1
+        return r
+
+    f0_ref = nxt()
+    kappa_ref = nxt()
+    alpha_ref = nxt()
+    pos_ref = nxt()
+    t60_ref = nxt()
+    u1_in = nxt()
+    u2_in = nxt()
+    z1_in = nxt()
+    z2_in = nxt()
+    if consts.has_bow:
+        xb_ref = nxt()
+        vb_ref = nxt()
+        Fb_ref = nxt()
+        wid_ref = nxt()
+        phi0_ref = nxt()
+        phi1_ref = nxt()
+        bmask_ref = nxt()
+    if consts.has_hammer:
+        xH_ref = nxt()
+        wH_ref = nxt()
+        Mr_ref = nxt()
+        aH_ref = nxt()
+        hmask_ref = nxt()
+    if consts.has_bow or consts.has_hammer:
+        uH1_in = nxt()
+        uH2_in = nxt()
+
+    uout_ref = nxt()
+    zout_ref = nxt()
+    u1_out = nxt()
+    u2_out = nxt()
+    z1_out = nxt()
+    z2_out = nxt()
+    has_exc = consts.has_bow or consts.has_hammer
+    if has_exc:
+        vr_ref = nxt()
+        FH_ref = nxt()
+        uH_ref = nxt()
+    if consts.collect_state:
+        su_ref = nxt()
+        sz_ref = nxt()
+
+    u1s = nxt()
+    u2s = nxt()
+    z1s = nxt()
+    z2s = nxt()
+    uacc = nxt()
+    zacc = nxt()
+    if has_exc:
+        vracc = nxt()
+        FHacc = nxt()
+        uHacc = nxt()
+        uHs = nxt()  # (B, 128): cols 0/1 hold uH1/uH2
+
     k = consts.k
     theta = consts.theta_t
     M_t, M_l = consts.M_t, consts.M_l
@@ -114,6 +180,15 @@ def _kernel(consts: PluckKernelConsts, *refs):
         z1s[:] = _pad(z1_in[:], M_l)
         z2s[:] = _pad(z2_in[:], M_l)
 
+    if has_exc:
+
+        @pl.when(ci == 0)
+        def _():
+            cols = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+            uHs[:] = jnp.where(
+                cols == 0, uH1_in[:], jnp.where(cols == 1, uH2_in[:], 0.0)
+            )
+
     kappa = kappa_ref[:]  # (B, 1)
     alpha = alpha_ref[:]
     pos = pos_ref[:]
@@ -121,14 +196,15 @@ def _kernel(consts: PluckKernelConsts, *refs):
     it = jax.lax.broadcasted_iota(jnp.int32, (B, MP), 1)
     itf = it.astype(dt)
     it_T = jax.lax.broadcasted_iota(jnp.int32, (B, consts.chunk), 1)
+    it_S = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
 
     # PCR out-of-range fill masks per level
     fills = []
     for lv in range(levels):
         s = 1 << lv
         fills.append((
-            (it < s).astype(dt),        # rows whose -s neighbour is absent
-            (it >= MP - s).astype(dt),  # rows whose +s neighbour is absent
+            (it < s).astype(dt),
+            (it >= MP - s).astype(dt),
         ))
 
     def pcr(sub, diag, sup, rhs):
@@ -148,9 +224,13 @@ def _kernel(consts: PluckKernelConsts, *refs):
             s *= 2
         return d / b
 
+    def _col(ref, t):
+        """Masked read of time column t from a (B, chunk) VMEM block."""
+        return jnp.sum(jnp.where(it_T == t, ref[:], 0.0), axis=1, keepdims=True)
+
     def step(t, _):
         sel_T = it_T == t
-        f0 = jnp.sum(jnp.where(sel_T, f0_ref[:], 0.0), axis=1, keepdims=True)
+        f0 = _col(f0_ref, t)
         gamma = 2.0 * f0
         K = kappa * gamma
         two_t = 2.0 * theta - 1.0
@@ -192,6 +272,7 @@ def _kernel(consts: PluckKernelConsts, *refs):
         scale = LN10_6 / (zeta1 - zeta2)
         sig0 = scale * sig0
         sig1 = scale * sig1
+        tol_t = h_t**consts.relative_error
 
         live_t = (itf < n_t).astype(dt)
         live_l = (itf < n_l).astype(dt)
@@ -219,10 +300,9 @@ def _kernel(consts: PluckKernelConsts, *refs):
         tl = interp_idx(n_t, n_l)  # u-derived (t-grid) -> l-grid
 
         def interp_pair(srcs_lt, srcs_tl):
-            """Stacked gather: list of l->t sources + list of t->l sources."""
             srcs = srcs_lt + srcs_tl
             n = len(srcs)
-            Z = jnp.concatenate(srcs + srcs, axis=0)  # lo copies + hi copies
+            Z = jnp.concatenate(srcs + srcs, axis=0)
             I = jnp.concatenate(
                 [lt[0]] * len(srcs_lt) + [tl[0]] * len(srcs_tl)
                 + [lt[1]] * len(srcs_lt) + [tl[1]] * len(srcs_tl),
@@ -256,14 +336,12 @@ def _kernel(consts: PluckKernelConsts, *refs):
             return (pent + corr) / (h**4)
 
         def K_tl_from(w):
-            """-phi_pow Dxf (lam * Dxb w) with w already on the t-grid."""
             return -phi_pow * dxf(lam * dxb(w, h_t), h_t)
 
         def K_lt_from(w):
-            """-phi_pow Dxf_l w with w already on the l-grid."""
             return -phi_pow * dxf(w, h_l)
 
-        # ---- LHS tridiagonals, stacked (2B, MP) --------------------------
+        # ---- LHS tridiagonals ---------------------------------------------
         a_t = (1.0 - theta) / 2.0 - 2.0 * sig1 * k / (h_t * h_t)
         b_t = theta + 2.0 * sig0 * k + 4.0 * sig1 * k / (h_t * h_t)
         d_next = _shift(lam2, -1)
@@ -279,7 +357,7 @@ def _kernel(consts: PluckKernelConsts, *refs):
         diag_l = jnp.where(itf < n_l, b_l, 1.0)
         sup_l = jnp.where(itf < (n_l - 1.0), a_l, 0.0)
 
-        # ---- RHS (B w1 + C w2), one stacked gather pass ------------------
+        # ---- RHS (B w1 + C w2), one stacked gather pass --------------------
         lamdxb_u2 = lam * dxb(u2, h_t)
         iz1, iz2, iu2 = interp_pair([z1, z2], [lamdxb_u2])
 
@@ -291,33 +369,105 @@ def _kernel(consts: PluckKernelConsts, *refs):
                 + K2k2 * dxxxx_cl(u1, h_t))
         C1u2 = (theta_op(u2) - 2.0 * sig0 * k * u2
                 + 2.0 * sig1 * k * dxx(u2, h_t) + V_u2)
-        rhs_u = B1u1 + C1u2 + 2.0 * K_tl_from(iz1) + K_tl_from(iz2)
+        rhs_u0 = B1u1 + C1u2 + 2.0 * K_tl_from(iz1) + K_tl_from(iz2)
         B4z1 = -2.0 * z1 - gamma_k * alpha**2 * dxx(z1, h_l)
         C4z2 = (1.0 - 2.0 * sig0 * k) * z2 + 2.0 * sig1 * k * dxx(z2, h_l)
         rhs_z = B4z1 + C4z2 + K_lt_from(iu2)
-
-        rhs_u = rhs_u * live_t
         z_keep = jnp.clip(N_t + N_l + 2.0 - M_t, 0.0, n_l)
         rhs_z = rhs_z * (itf < z_keep).astype(dt)
 
-        # ---- adaptive Gauss-Seidel coupling sweeps ------------------------
-        # GS ordering (u uses the latest z; z uses the NEW u) matches the
-        # XLA engine's parity-proven inner loop; its iteration radius is the
-        # square of Jacobi's, which matters when the state slope Lambda makes
-        # the coupling strong.  Iterate to f32 machine precision.
+        # ---- excitation profiles (iterate-independent parts) ---------------
+        if consts.has_bow:
+            x_b = _col(xb_ref, t)
+            v_b = _col(vb_ref, t)
+            F_b = _col(Fb_ref, t)
+            wid_b = _col(wid_ref, t) * h_t
+            # raised cosine over the first M_t lanes (bow.cpp:32, misc.cpp:20)
+            xax = (itf + 1.0) / M_t
+            nmin1 = N_t - 1.0
+            ctr = x_b * nmin1 / M_t
+            wd = wid_b * nmin1 / M_t
+            ind = jnp.sign(
+                jnp.maximum(-(xax - ctr - wd / 2.0) * (xax - ctr + wd / 2.0), 0.0)
+            )
+            rc = 0.5 * ind * (1.0 + jnp.cos(2.0 * np.pi * (xax - ctr) / wd))
+            rc = rc * (it < M_t)
+            rc = rc / jnp.sum(jnp.abs(rc), axis=1, keepdims=True)
+            phi0 = phi0_ref[:]
+            phi1 = phi1_ref[:]
+            bmask = bmask_ref[:]
+        if consts.has_hammer:
+            x_H = xH_ref[:]
+            w_H = wH_ref[:] / consts.lambda_c
+            M_r = Mr_ref[:] / consts.lambda_c
+            a_H = aH_ref[:]
+            hmask = hmask_ref[:]
+            eps_prof = (itf == jnp.floor(x_H * (N_t - 1.0))).astype(dt)
+            uH1 = jnp.sum(jnp.where(it_S == 0, uHs[:], 0.0), axis=1, keepdims=True)
+            uH2 = jnp.sum(jnp.where(it_S == 1, uHs[:], 0.0), axis=1, keepdims=True)
+            eta_1 = uH1 - jnp.sum(eps_prof * u1, axis=1, keepdims=True)
+            eta_2 = uH2 - jnp.sum(eps_prof * u2, axis=1, keepdims=True)
+
         inner_eps = 100.0 * float(jnp.finfo(dt).eps)
+        zcol = jnp.zeros((B, 1), dt)
 
         def sweep_body(carry_s):
-            u_c, z_c, _, it_c = carry_s
+            u_c, z_c, _, F_H, u_H, v_rel, it_c = carry_s
+            rhs_u = rhs_u0
+            if consts.has_bow:
+                # bow.cpp:17-41; first iterate probes (u1-u2)/k
+                du = jnp.where(it_c == 0, u1 - u2, u_c - u1)
+                v_rel = jnp.sum(rc * (du / k - v_b), axis=1, keepdims=True)
+                phi = jnp.sign(v_rel) * (
+                    phi1 + (1.0 - phi1) * jnp.exp(-phi0 * jnp.abs(v_rel))
+                )
+                G_B = -(k**2) * (rc / h_t) * (F_b * phi)
+                rhs_u = rhs_u + bmask * jnp.nan_to_num(G_B)
+            if consts.has_hammer:
+                # hammer.cpp:11-85 inner fixed point on (B, 1) scalars
+                eps_u = jnp.sum(eps_prof * u_c, axis=1, keepdims=True)
+
+                def h_body(hs):
+                    _, _, eta_est, res, it_h = hs
+                    eta = eta_est
+                    f_H = (
+                        jnp.power(w_H, 1.0 + a_H)
+                        * jnp.power(jnp.maximum(eta_1, 0.0), a_H - 1.0)
+                        * (eta + eta_2) / 2.0
+                    )
+                    F_Hn = jnp.where(eta_1 > 0, f_H, 0.0)
+                    u_Hn = 2.0 * uH1 - uH2 - k**2 * F_Hn
+                    u_Hn = jnp.maximum(u_Hn - M_HD_CLAMP, 0.0) + M_HD_CLAMP
+                    eta_new = (u_Hn - eps_u) * hmask
+                    return F_Hn, u_Hn, eta_new, jnp.abs(eta - eta_new), it_h + 1
+
+                def h_cond(hs):
+                    *_, res, it_h = hs
+                    return jnp.logical_or(
+                        it_h == 0,
+                        jnp.logical_and(
+                            jnp.any(res > tol_t),
+                            it_h < consts.hammer_max_iter,
+                        ),
+                    )
+
+                F_H, u_H, _, _, _ = jax.lax.while_loop(
+                    h_cond, h_body,
+                    (zcol, zcol, eta_1 * hmask, zcol, jnp.array(0, jnp.int32)),
+                )
+                G_H = -(k**2) * eps_prof * (M_r * F_H)
+                rhs_u = rhs_u + hmask * jnp.nan_to_num(G_H)
+            rhs_u = rhs_u * live_t
+
             (iz,) = interp_pair([z_c], [])
             u_c2 = pcr(sub_t, diag_t, sup_t, -rhs_u - K_tl_from(iz))
             (iu,) = interp_pair([], [lam * dxb(u_c2, h_t)])
             z_c2 = pcr(sub_l, diag_l, sup_l, -rhs_z - K_lt_from(iu))
             delta = jnp.max(jnp.abs(u_c2 - u_c)) + jnp.max(jnp.abs(z_c2 - z_c))
-            return u_c2, z_c2, delta, it_c + 1
+            return u_c2, z_c2, delta, F_H, u_H, v_rel, it_c + 1
 
         def sweep_cond(carry_s):
-            u_c, _, delta, it_c = carry_s
+            u_c, _, delta, *_, it_c = carry_s
             scale_c = jnp.max(jnp.abs(u_c)) + inner_eps
             return jnp.logical_or(
                 it_c == 0,
@@ -327,17 +477,20 @@ def _kernel(consts: PluckKernelConsts, *refs):
                 ),
             )
 
-        u_n, z_n, _, _ = jax.lax.while_loop(
+        u_n, z_n, _, F_H, u_H, v_rel, _ = jax.lax.while_loop(
             sweep_cond,
             sweep_body,
-            (u1, z1, jnp.array(jnp.inf, dt), jnp.array(0, jnp.int32)),
+            (u1, z1, jnp.array(jnp.inf, dt), zcol, zcol, zcol,
+             jnp.array(0, jnp.int32)),
         )
         u_n = u_n * live_t * (it != 0) * (itf != N_t)
         z_n = z_n * live_l * (it != 0) * (itf != N_l)
 
-        # ---- readout (string.cpp:263-298) --------------------------------
+        # ---- readout (string.cpp:263-298) ----------------------------------
+        h_w = hmask if consts.has_hammer else 0.0
+        b_w = bmask if consts.has_bow else 0.0
         if consts.surface_integral:
-            w_out = 0.5 * h_t
+            w_out = 0.5 * h_t * (1.0 + h_w + b_w)
             u_out = jnp.sum(u_n - u1s[:], axis=-1, keepdims=True) * w_out / k
             z_out = jnp.sum(z_n - z1s[:], axis=-1, keepdims=True) * w_out / k
         else:
@@ -356,9 +509,19 @@ def _kernel(consts: PluckKernelConsts, *refs):
 
         uacc[:] = jnp.where(sel_T, u_out, uacc[:])
         zacc[:] = jnp.where(sel_T, z_out, zacc[:])
+        if has_exc:
+            if not consts.has_hammer:
+                # free ballistic hammer displacement (engine fast path)
+                uH1 = jnp.sum(jnp.where(it_S == 0, uHs[:], 0.0), axis=1, keepdims=True)
+                uH2 = jnp.sum(jnp.where(it_S == 1, uHs[:], 0.0), axis=1, keepdims=True)
+                u_H = jnp.maximum(2.0 * uH1 - uH2 - M_HD_CLAMP, 0.0) + M_HD_CLAMP
+            vracc[:] = jnp.where(sel_T, v_rel, vracc[:])
+            FHacc[:] = jnp.where(sel_T, F_H, FHacc[:])
+            uHacc[:] = jnp.where(sel_T, u_H, uHacc[:])
+            uHs[:] = jnp.where(
+                it_S == 0, u_H, jnp.where(it_S == 1, uH1, uHs[:])
+            )
         if consts.collect_state:
-            # full padded width: unaligned lane slices inside dynamic-index
-            # stores upset Mosaic; the host slices to M_t/M_l afterwards
             su_ref[pl.ds(t, 1)] = u_n[None]
             sz_ref[pl.ds(t, 1)] = z_n[None]
         u2s[:] = u1s[:]
@@ -371,61 +534,99 @@ def _kernel(consts: PluckKernelConsts, *refs):
 
     uout_ref[:] = uacc[:]
     zout_ref[:] = zacc[:]
+    if has_exc:
+        vr_ref[:] = vracc[:]
+        FH_ref[:] = FHacc[:]
+        uH_ref[:] = uHacc[:]
     u1_out[:] = u1s[:, :M_t]
     u2_out[:] = u2s[:, :M_t]
     z1_out[:] = z1s[:, :M_l]
     z2_out[:] = z2s[:, :M_l]
 
 
-def pluck_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
-                  k, theta_t, lambda_c, M_t, M_l, chunk=512,
-                  coupling_iters=24, surface_integral=False, interpret=False,
-                  batch_block=32, collect_state=False):
-    """Run the fused pluck kernel over a full (B, T) control signal.
+def string_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
+                   k, theta_t, lambda_c, M_t, M_l, chunk=512,
+                   coupling_iters=24, surface_integral=False, interpret=False,
+                   batch_block=32, collect_state=False,
+                   bow=None, hammer=None, relative_error=4.0):
+    """Run the fused string kernel over a full (B, T) control signal.
 
-    Returns ``(uout (B, T), zout (B, T), final carry (u1, u2, z1, z2))``,
-    plus ``(state_u (T, B, M_t), state_z (T, B, M_l))`` appended to the
-    carry tuple when ``collect_state`` is set.  ``T`` must be a multiple of
-    ``chunk``.  Large batches are processed in ``batch_block``-row groups
-    via an outer grid dimension so the gather/PCR temporaries stay under the
-    scoped-VMEM limit; the time dimension is the minor grid axis, so state
-    scratch re-initialises at chunk 0 of each batch block.
+    ``bow`` (optional): dict with x_b/v_b/F_b/wid (B, T) and phi_0/phi_1/
+    mask (B,).  ``hammer`` (optional): dict with x_H/w_H/M_r/alpha/mask (B,)
+    and uH1/uH2 (B,) initial displacements.
+
+    Returns ``(uout (B, T), zout (B, T), aux)`` where ``aux`` is a dict with
+    the final carry, optional v_r/F_H/u_H (B, T) traces and optional
+    state_u/state_z (T, B, M) fields.  ``T`` must be a multiple of ``chunk``.
     """
     B, T = f0.shape
     assert T % chunk == 0, (T, chunk)
     n_chunks = T // chunk
     BB = min(batch_block, B)
-    assert B % BB == 0, (B, BB)
+    while B % BB:
+        BB -= 1
     n_bb = B // BB
     MP = ((max(M_t, M_l) + 127) // 128) * 128
-    consts = PluckKernelConsts(
+    has_bow = bow is not None
+    has_hammer = hammer is not None
+    has_exc = has_bow or has_hammer
+    consts = KernelConsts(
         k=float(k), theta_t=float(theta_t), lambda_c=float(lambda_c),
         M_t=M_t, M_l=M_l, chunk=chunk, coupling_iters=coupling_iters,
         surface_integral=surface_integral, collect_state=collect_state,
+        has_bow=has_bow, has_hammer=has_hammer,
+        relative_error=float(relative_error),
     )
     t60_flat = jnp.stack(
         [t60[:, 0, 0], t60[:, 0, 1], t60[:, 1, 0], t60[:, 1, 1]], axis=1
     )
     dtype = f0.dtype
     kernel = functools.partial(_kernel, consts)
-    out_shape = [
-        jax.ShapeDtypeStruct((B, T), dtype),  # uout
-        jax.ShapeDtypeStruct((B, T), dtype),  # zout
-        jax.ShapeDtypeStruct((B, M_t), dtype),
-        jax.ShapeDtypeStruct((B, M_t), dtype),
-        jax.ShapeDtypeStruct((B, M_l), dtype),
-        jax.ShapeDtypeStruct((B, M_l), dtype),
-    ]
+
     bbspec = lambda w: pl.BlockSpec((BB, w), lambda b, i: (b, 0), memory_space=pltpu.VMEM)
     tspec = pl.BlockSpec((BB, chunk), lambda b, i: (b, i), memory_space=pltpu.VMEM)
-    out_specs = [
-        tspec,
-        tspec,
-        bbspec(M_t),
-        bbspec(M_t),
-        bbspec(M_l),
-        bbspec(M_l),
+
+    inputs = [
+        f0, kappa[:, None], alpha[:, None], pos[:, None], t60_flat,
+        u1, u2, z1, z2,
     ]
+    in_specs = [
+        tspec, bbspec(1), bbspec(1), bbspec(1), bbspec(4),
+        bbspec(M_t), bbspec(M_t), bbspec(M_l), bbspec(M_l),
+    ]
+    if has_bow:
+        inputs += [
+            bow["x_b"], bow["v_b"], bow["F_b"], bow["wid"],
+            bow["phi_0"][:, None], bow["phi_1"][:, None],
+            bow["mask"].astype(dtype)[:, None],
+        ]
+        in_specs += [tspec, tspec, tspec, tspec, bbspec(1), bbspec(1), bbspec(1)]
+    if has_hammer:
+        inputs += [
+            hammer["x_H"][:, None], hammer["w_H"][:, None],
+            hammer["M_r"][:, None], hammer["alpha"][:, None],
+            hammer["mask"].astype(dtype)[:, None],
+        ]
+        in_specs += [bbspec(1)] * 5
+    if has_exc:
+        src = hammer if has_hammer else (bow or {})
+        uH1_init = src.get("uH1", jnp.full((B,), -1e-3, dtype))
+        uH2_init = src.get("uH2", jnp.full((B,), -1e-3, dtype))
+        inputs += [uH1_init[:, None], uH2_init[:, None]]
+        in_specs += [bbspec(1)] * 2
+
+    out_shape = [
+        jax.ShapeDtypeStruct((B, T), dtype),
+        jax.ShapeDtypeStruct((B, T), dtype),
+        jax.ShapeDtypeStruct((B, M_t), dtype),
+        jax.ShapeDtypeStruct((B, M_t), dtype),
+        jax.ShapeDtypeStruct((B, M_l), dtype),
+        jax.ShapeDtypeStruct((B, M_l), dtype),
+    ]
+    out_specs = [tspec, tspec, bbspec(M_t), bbspec(M_t), bbspec(M_l), bbspec(M_l)]
+    if has_exc:
+        out_shape += [jax.ShapeDtypeStruct((B, T), dtype)] * 3
+        out_specs += [tspec, tspec, tspec]
     if collect_state:
         out_shape += [
             jax.ShapeDtypeStruct((T, B, MP), dtype),
@@ -435,44 +636,54 @@ def pluck_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
             (chunk, BB, MP), lambda b, i: (i, b, 0), memory_space=pltpu.VMEM
         )
         out_specs += [sspec, sspec]
+
+    scratch = [
+        pltpu.VMEM((BB, MP), dtype),
+        pltpu.VMEM((BB, MP), dtype),
+        pltpu.VMEM((BB, MP), dtype),
+        pltpu.VMEM((BB, MP), dtype),
+        pltpu.VMEM((BB, chunk), dtype),
+        pltpu.VMEM((BB, chunk), dtype),
+    ]
+    if has_exc:
+        scratch += [
+            pltpu.VMEM((BB, chunk), dtype),
+            pltpu.VMEM((BB, chunk), dtype),
+            pltpu.VMEM((BB, chunk), dtype),
+            pltpu.VMEM((BB, 128), dtype),
+        ]
+
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
         grid=(n_bb, n_chunks),
-        in_specs=[
-            tspec,
-            bbspec(1),
-            bbspec(1),
-            bbspec(1),
-            bbspec(4),
-            bbspec(M_t),
-            bbspec(M_t),
-            bbspec(M_l),
-            bbspec(M_l),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
-        scratch_shapes=[
-            pltpu.VMEM((BB, MP), dtype),
-            pltpu.VMEM((BB, MP), dtype),
-            pltpu.VMEM((BB, MP), dtype),
-            pltpu.VMEM((BB, MP), dtype),
-            pltpu.VMEM((BB, chunk), dtype),
-            pltpu.VMEM((BB, chunk), dtype),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(
-        f0,
-        kappa[:, None],
-        alpha[:, None],
-        pos[:, None],
-        t60_flat,
-        u1,
-        u2,
-        z1,
-        z2,
-    )
+    )(*inputs)
+
     uout, zout = outs[0], outs[1]
-    carry_out = tuple(outs[2:6])
+    aux = {"carry": tuple(outs[2:6])}
+    j = 6
+    if has_exc:
+        aux["v_r"] = outs[j]
+        aux["F_H"] = outs[j + 1]
+        aux["u_H"] = outs[j + 2]
+        j += 3
     if collect_state:
-        carry_out = carry_out + (outs[6][:, :, :M_t], outs[7][:, :, :M_l])
-    return uout, zout, carry_out
+        aux["state_u"] = outs[j][:, :, :M_t]
+        aux["state_z"] = outs[j + 1][:, :, :M_l]
+    return uout, zout, aux
+
+
+def pluck_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, **kw):
+    """Back-compat wrapper returning the original pluck-path signature."""
+    collect_state = kw.get("collect_state", False)
+    uout, zout, aux = string_chunked(
+        f0, kappa, alpha, pos, t60, u1, u2, z1, z2, **kw
+    )
+    fin = aux["carry"]
+    if collect_state:
+        fin = fin + (aux["state_u"], aux["state_z"])
+    return uout, zout, fin

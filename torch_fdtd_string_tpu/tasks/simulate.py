@@ -52,7 +52,7 @@ def _to_device(tree, device):
 
 
 def _pallas_eligible(consts: SimConsts, device, dtype):
-    """The fused TPU kernel covers the pluck path (no bow/hammer/MMS, f32)."""
+    """The fused TPU kernel covers all excitations (no MMS, f32 only)."""
     import os
 
     if os.environ.get("FDTD_NO_PALLAS") == "1":
@@ -61,48 +61,65 @@ def _pallas_eligible(consts: SimConsts, device, dtype):
         return False
     import numpy as _np
 
-    return (
-        not consts.has_bow
-        and not consts.has_hammer
-        and not consts.manufactured
-        and dtype == _np.float32
-    )
+    return not consts.manufactured and dtype == _np.float32
 
 
-def _process_pallas(state, hammer, consts: SimConsts, Nt, sr, collect_state):
+def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
+                    consts: SimConsts, Nt, sr, collect_state):
     """Whole-run fused-kernel path (ops/pallas_step.py).
 
     Control signals are edge-padded up to a chunk multiple; the surplus
     steps are discarded (each sample is independent, so the advanced carry
-    is unused).  Bow/hammer probe artifacts are zero on this path (the
-    excitations are absent) and the free hammer-displacement ramp is
-    reproduced in closed form.
+    is unused).  On excitation-free runs the bow/hammer probe artifacts are
+    zero and the free hammer-displacement ramp is reproduced in closed form.
     """
     import jax.numpy as jnp
 
-    from ..ops.pallas_step import pluck_chunked
+    from ..ops.pallas_step import string_chunked
 
     chunk = 128 if collect_state else 512
     bblock = 8 if collect_state else 32
     B = state.u0.shape[0]
-    while B % bblock:
-        bblock //= 2
     T = Nt - 2
     T_pad = ((T + chunk - 1) // chunk) * chunk
-    f0 = np.concatenate(
-        [state.f0[:, 2:Nt], np.repeat(state.f0[:, -1:], T_pad - T, axis=1)], axis=1
-    ).astype(np.float32)
 
+    def tpad(x):
+        x = np.asarray(x, np.float32)
+        return jnp.asarray(
+            np.concatenate(
+                [x[:, 2:Nt], np.repeat(x[:, -1:], T_pad - T, axis=1)], axis=1
+            )
+        )
+
+    f0 = tpad(state.f0)
     u1_init, u2_init = fdm.initialize_state_rows(state.u0, state.v0, consts.k)
     M_l = consts.M_l
-    uout, zout, fin = pluck_chunked(
-        jnp.asarray(f0),
-        jnp.asarray(state.kappa, jnp.float32),
-        jnp.asarray(state.alpha, jnp.float32),
-        jnp.asarray(state.pos, jnp.float32),
-        jnp.asarray(state.T60, jnp.float32),
-        jnp.asarray(u1_init, jnp.float32),
-        jnp.asarray(u2_init, jnp.float32),
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    uH1 = f32(hammer.u_H[:, 1])
+    uH2 = f32(hammer.u_H[:, 0])
+    bow_d = None
+    if consts.has_bow:
+        bow_d = dict(
+            x_b=tpad(bow.x_b), v_b=tpad(bow.v_b), F_b=tpad(bow.F_b),
+            wid=tpad(bow.wid), phi_0=f32(bow.phi_0), phi_1=f32(bow.phi_1),
+            mask=jnp.asarray(bow_mask), uH1=uH1, uH2=uH2,
+        )
+    hammer_d = None
+    if consts.has_hammer:
+        hammer_d = dict(
+            x_H=f32(hammer.x_H), w_H=f32(hammer.w_H), M_r=f32(hammer.M_r),
+            alpha=f32(hammer.alpha), mask=jnp.asarray(hammer_mask),
+            uH1=uH1, uH2=uH2,
+        )
+
+    uout_d, zout_d, aux = string_chunked(
+        f0,
+        f32(state.kappa),
+        f32(state.alpha),
+        f32(state.pos),
+        f32(state.T60),
+        f32(u1_init),
+        f32(u2_init),
         jnp.zeros((B, M_l), jnp.float32),
         jnp.zeros((B, M_l), jnp.float32),
         k=consts.k,
@@ -114,16 +131,25 @@ def _process_pallas(state, hammer, consts: SimConsts, Nt, sr, collect_state):
         batch_block=bblock,
         surface_integral=consts.surface_integral,
         collect_state=collect_state,
+        bow=bow_d,
+        hammer=hammer_d,
+        relative_error=consts.relative_error,
     )
-    uout = np.asarray(uout)[:, :T]
-    zout = np.asarray(zout)[:, :T]
+    uout = np.asarray(uout_d)[:, :T]
+    zout = np.asarray(zout_d)[:, :T]
 
-    # closed-form free hammer ramp (engine fast path semantics)
-    uH1 = hammer.u_H[:, 1]
-    vstep = hammer.u_H[:, 1] - hammer.u_H[:, 0]
-    n = np.arange(1, T + 1)[None, :]
-    u_H = np.maximum(uH1[:, None] + n * vstep[:, None], -0.01 + 0.0) / consts.k
-    zeros = np.zeros_like(uout)
+    if consts.has_bow or consts.has_hammer:
+        v_r = np.asarray(aux["v_r"])[:, :T]
+        F_H = np.asarray(aux["F_H"])[:, :T]
+        u_H = np.asarray(aux["u_H"])[:, :T] / consts.k
+    else:
+        # closed-form free hammer ramp (engine fast-path semantics)
+        uH1n = hammer.u_H[:, 1]
+        vstep = hammer.u_H[:, 1] - hammer.u_H[:, 0]
+        n = np.arange(1, T + 1)[None, :]
+        u_H = (uH1n[:, None] + n * vstep[:, None]) / consts.k
+        v_r = np.zeros_like(uout)
+        F_H = np.zeros_like(uout)
 
     from ..utils.audio import T60_to_sigma
 
@@ -131,7 +157,7 @@ def _process_pallas(state, hammer, consts: SimConsts, Nt, sr, collect_state):
     sig0, sig1 = T60_to_sigma(state.T60, gamma, state.kappa * gamma)
 
     if collect_state:
-        su_d, sz_d = fin[4], fin[5]
+        su_d, sz_d = aux["state_u"], aux["state_z"]
         if os.environ.get("FDTD_STATE_F16") == "1":
             # halve the device->host transfer (this environment's TPU tunnel
             # moves <6 MB/s; real hosts do GB/s) at ~1e-3 relative precision
@@ -146,7 +172,7 @@ def _process_pallas(state, hammer, consts: SimConsts, Nt, sr, collect_state):
         state_z = np.concatenate([np.zeros((B, 2, M_l), np.float32), sz], axis=1)
     else:
         state_u = state_z = None
-    return uout, zout, state_u, state_z, zeros, zeros, u_H, sig0, sig1
+    return uout, zout, state_u, state_z, v_r, F_H, u_H, sig0, sig1
 
 
 def process(
@@ -176,7 +202,10 @@ def process(
 
     if _pallas_eligible(consts, device, np.float32 if state.u0.dtype != np.float64 else np.float64):
         try:
-            return _process_pallas(state, hammer, consts, Nt, sr, collect_state)
+            return _process_pallas(
+                state, bow, hammer, bow_mask, hammer_mask, consts, Nt, sr,
+                collect_state,
+            )
         except Exception as err:  # Mosaic/driver issues -> XLA engine fallback
             print(f"[simulate] pallas path unavailable ({err}); using XLA engine")
 
