@@ -12,7 +12,7 @@ import math
 from functools import partial
 
 import jax.numpy as jnp
-import numpy as np
+
 
 from ..utils.audio import mel_filterbank
 

@@ -26,7 +26,7 @@ from ..ops.ddsp import (
     upsample,
 )
 from ..ops.modal import modal_synth
-from .blocks import AMBlock, FMBlock, MLP, ModeEstimator, RFF
+from .blocks import AMBlock, FMBlock, ModeEstimator, RFF
 
 
 def t60_to_sigma_frames(T60, f_0, K):

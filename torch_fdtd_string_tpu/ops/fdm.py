@@ -15,7 +15,7 @@ Notation (Bilbao, *Numerical Sound Synthesis*, ch. 7):
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -12,7 +12,7 @@ import os
 
 import numpy as np
 
-from ..utils import plot as uplot
+
 from ..utils import wav as wavio
 
 

@@ -13,12 +13,11 @@ all-reduce (the reference relies on Lightning DDP/NCCL, trainer.py:62-78).
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Any, NamedTuple
 
 import numpy as np
 
-from ..models.losses import build_loss_registry, si_sdr, stft_mag
+from ..models.losses import si_sdr, stft_mag
 from ..utils import misc as ms
 
 

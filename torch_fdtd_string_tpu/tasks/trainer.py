@@ -105,7 +105,7 @@ def train(args, save_dir):
     import jax
 
     task = args.task
-    model = build = S.build_model(args)
+    model = S.build_model(args)
     inharmonic = model.inharmonic
     block = args.model.block_size
     sr = task.sr
