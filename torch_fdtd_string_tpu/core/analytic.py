@@ -143,7 +143,8 @@ class StiffStringModes:
         return trig + hyp
 
 
-def lossy_stiff_string(u0, f0, kappa_rel, t60, Nt, Nx, sr, L=1.0, strict=True):
+def lossy_stiff_string(u0, f0, kappa_rel, t60, Nt, Nx, sr, L=1.0, strict=True,
+                       return_field=True):
     """Full modal solution of the clamped lossy stiff string.
 
     Args mirror reference ``analytic.py:340-368``:
@@ -151,7 +152,10 @@ def lossy_stiff_string(u0, f0, kappa_rel, t60, Nt, Nx, sr, L=1.0, strict=True):
       f0: scalar or (Nt,) fundamental (only f0[0] defines the mode problem).
       kappa_rel, t60 ((2,2)): string parameters.
     Returns (u (Nt, Nx), mode_freq (n_modes,) [rad/sample], mode_amps
-    (n_modes, Nx)).
+    (n_modes, Nx)).  ``return_field=False`` skips synthesising the (large)
+    space-time field ``u`` and returns None for it — the preprocessing path
+    only consumes the mode data (the reference computes-and-discards it,
+    process_training_data.py:101).
     """
     u0 = np.asarray(u0, np.float64).reshape(-1)
     f0_arr = np.reshape(np.asarray(f0, np.float64), (-1,))
@@ -166,7 +170,7 @@ def lossy_stiff_string(u0, f0, kappa_rel, t60, Nt, Nx, sr, L=1.0, strict=True):
 
     solver = StiffStringModes(ell, L)
     freqs, amps = [], []
-    u = np.zeros((Nt, Nx))
+    u = np.zeros((Nt, Nx)) if return_field else None
     for kind in ("even", "odds"):
         mu2 = solver.refine(solver.sweep(kind), kind, strict=strict)
         mu1 = solver._mu1(mu2)
@@ -177,8 +181,9 @@ def lossy_stiff_string(u0, f0, kappa_rel, t60, Nt, Nx, sr, L=1.0, strict=True):
         Xb = b[:, None] * X  # (n, Nx) fitted shapes
         varsg = mu1**4 * K**2 + mu1**2 * gamma**2
         omega = np.sqrt(np.maximum(varsg - sigma**2, 0.0))  # rad/s
-        T = np.exp(-sigma * t) * np.cos(omega[None, :] * t)  # (Nt, n)
-        u += T @ Xb
+        if return_field:
+            T = np.exp(-sigma * t) * np.cos(omega[None, :] * t)  # (Nt, n)
+            u += T @ Xb
         freqs.append(omega / sr)  # rad/sample (reference stores omega*t[1])
         amps.append(Xb)
 

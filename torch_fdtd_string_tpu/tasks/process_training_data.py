@@ -109,12 +109,28 @@ def save_upsampled_data(load_dir, save_dir, sr, Nx, strict=True):
     if np.abs(f0 - f0.mean()).sum() < 0.1:  # constant f0
         xu = np.linspace(0, 1, Nu)
         ut = data.interpolate(ut, ti, xu, xi, kx=ki, ky=ki)
-    else:  # time-varying f0: per-step live grid width
+    else:
+        # time-varying f0: the live grid width changes per step, but f0
+        # moves slowly so only a handful of distinct widths occur — group
+        # the time rows by width and spline-resample each group as one 2-D
+        # call (the reference loops scipy splines over all 48k steps,
+        # process_training_data.py:141-148)
         new_ut = np.zeros((Nt, Nx))
-        for t in range(Nt):
-            nu_t = int(nx_t[t]) + 1
+        widths = (nx_t.astype(int) + 1)[:Nt]
+        for nu_t in np.unique(widths):
+            rows = np.nonzero(widths == nu_t)[0]
             xu = np.linspace(0, 1, nu_t)
-            new_ut[t] = data.interpolate1d(ut[t, :nu_t][None, :], xu, xi, k=ki)[0]
+            if len(rows) == 1:
+                new_ut[rows[0]] = data.interpolate1d(
+                    ut[rows[0], :nu_t][None, :], xu, xi, k=ki
+                )[0]
+            else:
+                # evaluating the bivariate spline at its own time knots makes
+                # the time axis exact; only the spatial axis interpolates
+                new_ut[rows] = data.interpolate(
+                    ut[rows][:, :nu_t], rows.astype(np.float64), xu, xi,
+                    kx=1, ky=ki,
+                )
         ut = new_ut
 
     # --- analytic modal solution at Na, downsampled to Nx ----------------
@@ -122,7 +138,7 @@ def save_upsampled_data(load_dir, save_dir, sr, Nx, strict=True):
     xa = np.linspace(0, 1, Na)
     u0_a = data.interpolate1d(ut[0][None, :], xi, xa, k=ki)[0]
     _, mode_freq, mode_amps = analytic.lossy_stiff_string(
-        u0_a, f0, kr, ts, Nt, Na, sr, strict=strict
+        u0_a, f0, kr, ts, Nt, Na, sr, strict=strict, return_field=False
     )
     mode_amps = np.stack(
         [data.interpolate1d(m[None, :], xa, xi)[0] for m in mode_amps]
