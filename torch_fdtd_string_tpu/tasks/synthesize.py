@@ -67,8 +67,10 @@ def prepare_batch(batch, n_modes, block_size, sr):
     t60 = batch["T60"].astype(np.float32)
     gt_f0 = batch["ut_f0"].astype(np.float32)
 
-    f_0 = ms.downsample(f_0, factor=block_size)
-    gt_f0 = ms.downsample(gt_f0, size=f_0.shape[1]) / sr * (2 * math.pi)
+    f_0 = ms.downsample(f_0, factor=block_size).astype(np.float32)
+    gt_f0 = (ms.downsample(gt_f0, size=f_0.shape[1]) / sr * (2 * math.pi)).astype(
+        np.float32
+    )
     return {
         "gt": gt,
         "xg": xg,

@@ -101,6 +101,66 @@ def use_snapshot_code(run_dir):
     return False
 
 
+def _stack_items(dataset):
+    """Collate an entire dataset into one numpy batch (host)."""
+    from ..data.dataset import _collate
+
+    return _collate([dataset[i] for i in range(len(dataset))])
+
+
+def _device_cache(dataset, n_modes, block, sr, drop=(), cache_path=None):
+    """Upload the whole (prepared) dataset to the accelerator ONCE and return
+    ``(gather, n)`` where ``gather(idx)`` assembles a batch on-device.
+
+    Motivation: this environment reaches the TPU through a slow tunnel
+    (~6 MB/s host->device), so streaming ~25 MB batches costs ~5-10 s/step
+    while the train step itself takes ~0.17 s.  The prepared trainset is only
+    ~1 GB, so one upfront transfer + on-device ``take`` makes epochs
+    compute-bound.  Arrays that are identical across items (e.g. the time
+    grid) are stored once and broadcast in the gather.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if cache_path and os.path.exists(cache_path):
+        with np.load(cache_path) as z:
+            prep = {k: z[k] for k in z.files}
+        print(f"[trainer] loaded host cache {cache_path}")
+    else:
+        prep = S.prepare_batch(_stack_items(dataset), n_modes, block, sr)
+        if cache_path:
+            np.savez(cache_path, **prep)
+    for k in drop:
+        prep.pop(k, None)
+    n = len(dataset)
+    shared, full = {}, {}
+    for k, v in prep.items():
+        if v.ndim >= 2 and v.shape[0] == n and not np.ptp(v, axis=0).any():
+            shared[k] = jax.device_put(v[:1])
+        else:
+            full[k] = jax.device_put(v)
+
+    # the cache tensors MUST be jit arguments, not closure captures — a
+    # captured array becomes an HLO constant, bloating the program (and
+    # overflowing remote-compile request limits) by the full cache size
+    @jax.jit
+    def _gather(full_d, shared_d, idx):
+        out = {k: jnp.take(v, idx, axis=0) for k, v in full_d.items()}
+        for k, v in shared_d.items():
+            out[k] = jnp.broadcast_to(v, (idx.shape[0],) + v.shape[1:])
+        return out
+
+    def gather(idx):
+        return _gather(full, shared, idx)
+
+    t0 = time.time()
+    jax.block_until_ready((full, shared))  # device_put is async; wait here so
+    nbytes = sum(v.nbytes for v in list(full.values()) + list(shared.values()))
+    print(f"[trainer] device-cached {n} samples ({nbytes/1e6:.0f} MB in "
+          f"{time.time()-t0:.0f}s; shared: {sorted(shared)})", flush=True)
+    return gather, n
+
+
 def train(args, save_dir):
     import jax
 
@@ -144,14 +204,52 @@ def train(args, save_dir):
     train_step = S.make_train_step(model, tx, registry, criteria, inharmonic, needs_value)
     eval_step = S.make_eval_step(model, registry, criteria, inharmonic)
 
+    # device-cache the datasets when items are deterministic (no random trim)
+    # and small enough; otherwise stream host batches (see _device_cache)
+    item_len = first["target"].shape[-1]
+    est_gb = len(trainset) * 2 * item_len * 4 / 1e9
+    cacheable = (
+        (trim is None or trim >= item_len)
+        and est_gb <= float(os.environ.get("FDTD_DEVICE_CACHE_GB", "6"))
+        and not os.environ.get("FDTD_NO_DEVICE_CACHE")
+    )
+    gather = vgather = None
+    if cacheable:
+        ctag = f"{model.n_modes}_{block}_{sr}_{trim or 0}"
+        gather, n_train = _device_cache(
+            trainset, model.n_modes, block, sr, drop=("analytic",),
+            cache_path=os.path.join(data_dir, task.load_name,
+                                    f"_prep_train_{ctag}.npz"),
+        )
+        vgather, n_valid = _device_cache(
+            validset, model.n_modes, block, sr, drop=("analytic",),
+            cache_path=os.path.join(data_dir, task.load_name,
+                                    f"_prep_valid_{ctag}.npz"),
+        )
+        shuffle_rng = np.random.default_rng(args.proc.seed)
+
     step = 0
     best_val = float("inf")
     for epoch in range(task.total_epoch):
         t0 = time.time()
-        for batch in train_loader:
-            prep = S.prepare_batch(batch, model.n_modes, block, sr)
+        if gather is not None:
+            order = shuffle_rng.permutation(n_train)
+            nb = n_train // task.batch_size  # drop_last
+            batch_iter = (
+                gather(order[i * task.batch_size : (i + 1) * task.batch_size])
+                for i in range(nb)
+            )
+        else:
+            batch_iter = (
+                S.prepare_batch(b, model.n_modes, block, sr) for b in train_loader
+            )
+        for prep in batch_iter:
             state, loss_dict = train_step(state, prep)
             step += 1
+            if step <= 3 or step % 200 == 0:
+                jax.block_until_ready(loss_dict)
+                print(f"[trainer] step {step} done @ {time.time() - t0:.1f}s "
+                      f"(epoch {epoch})", flush=True)
             if step % 50 == 0:
                 rec = {"epoch": epoch, "step": step, "split": "train"}
                 rec.update({f"train/{k}": np.asarray(v) for k, v in loss_dict.items()})
@@ -160,14 +258,27 @@ def train(args, save_dir):
         if (epoch + 1) % max(task.valid_epoch, 1) == 0:
             vals = []
             rng = jax.random.key(1234 + epoch)
-            for vi, batch in enumerate(valid_loader):
-                prep = S.prepare_batch(batch, model.n_modes, block, sr)
+            if vgather is not None:
+                vbs = task.valid_batch_size
+                valid_iter = (
+                    vgather(np.arange(i, min(i + vbs, n_valid)))
+                    for i in range(0, n_valid, vbs)
+                )
+            else:
+                valid_iter = (
+                    S.prepare_batch(b, model.n_modes, block, sr)
+                    for b in valid_loader
+                )
+            for vi, prep in enumerate(valid_iter):
                 outputs, ld = eval_step(state, prep, rng)
                 vals.append({k: float(np.asarray(v)) for k, v in ld.items()})
                 if vi == 0 and task.get("plot"):
                     from .callbacks import plot_results
 
-                    plot_results(save_dir, "valid", outputs, sr, step=step)
+                    # slice to the plotted items BEFORE np.asarray pulls the
+                    # batch across the (slow) device->host link
+                    small = {k: v[:4] for k, v in outputs.items()}
+                    plot_results(save_dir, "valid", small, sr, step=step)
             mean = {
                 f"valid/{k}": float(np.mean([v[k] for v in vals]))
                 for k in vals[0]
