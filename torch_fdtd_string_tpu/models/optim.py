@@ -104,15 +104,22 @@ def jnp_minimum(a, b):
     return jnp.minimum(a, b)
 
 
-def build(opt_name, opt_conf, sch_name, sch_conf, grad_clip=None):
+def build(opt_name, opt_conf, sch_name, sch_conf, grad_clip=None,
+          total_steps=None):
     """Returns (tx, schedule, needs_value).
 
     ``needs_value=True`` means ``tx.update`` takes a ``value=loss`` kwarg
     (reduce-on-plateau: the torch ReduceLROnPlateau equivalent, driven by the
     training loss instead of an epoch callback).
+
+    ``total_steps`` should be the real run length (epochs x steps/epoch) so
+    cosine/linear-warmup schedules decay over the actual horizon.
     """
     base_lr = opt_conf.get("lr", 1e-3)
-    schedule = get_schedule(sch_name, base_lr, sch_conf or {})
+    schedule = get_schedule(
+        sch_name, base_lr, sch_conf or {},
+        **({"total_steps": int(total_steps)} if total_steps else {}),
+    )
     conf = dict(opt_conf)
     conf["lr"] = schedule
     tx = get_optimizer(opt_name, conf)

@@ -50,18 +50,20 @@ def plot_results(save_dir, split, outputs, sr, n_items=4, step=0):
     return d
 
 
-def save_test_results(save_dir, rows, header, name="output"):
-    """Score TSVs (reference callbacks.py:99-135 ``SaveTestResults``)."""
+def save_test_results(save_dir, rows, header, name="output", ids=None):
+    """Score TSVs (reference callbacks.py:99-135 ``SaveTestResults``):
+    one ``id``-keyed row per test item plus a trailing mean row."""
     d = os.path.join(save_dir, "score")
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, f"{name}.txt")
     with open(path, "w") as f:
-        f.write("\t".join(header) + "\n")
-        for r in rows:
-            f.write("\t".join(f"{v:.6f}" for v in r) + "\n")
+        f.write("\t".join(["id"] + list(header)) + "\n")
+        for i, r in enumerate(rows):
+            rid = ids[i] if ids else str(i)
+            f.write("\t".join([rid] + [f"{v:.8f}" for v in r]) + "\n")
         if rows:
             mean = np.mean(np.asarray(rows), axis=0)
-            f.write("# mean\t" + "\t".join(f"{v:.6f}" for v in mean) + "\n")
+            f.write("\t".join(["# mean"] + [f"{v:.8f}" for v in mean]) + "\n")
     return path
 
 

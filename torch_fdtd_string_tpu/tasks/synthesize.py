@@ -71,7 +71,16 @@ def prepare_batch(batch, n_modes, block_size, sr):
     gt_f0 = (ms.downsample(gt_f0, size=f_0.shape[1]) / sr * (2 * math.pi)).astype(
         np.float32
     )
+    extra = {}
+    if "ua_f0" in batch:  # modal-baseline pitch track (reference synthesize.py:407)
+        an_f0 = batch["ua_f0"].astype(np.float32)
+        extra["an_f0"] = (
+            ms.downsample(an_f0, size=f_0.shape[1]) / sr * (2 * math.pi)
+        ).astype(np.float32)
+    if "gain" in batch:
+        extra["gain"] = batch["gain"].astype(np.float32).reshape(-1, 1)
     return {
+        **extra,
         "gt": gt,
         "xg": xg,
         "tg": tg,
@@ -190,3 +199,41 @@ def item_scores(preds, target, sr, target_f0_hz=None, preds_f0_rad=None):
         n = min(est_hz.shape[-1], target_f0_hz.shape[-1])
         out["f0_hz"] = np.abs(est_hz[..., :n] - target_f0_hz[..., :n]).mean(-1)
     return out
+
+
+def summarize_eval_scores(prep, preds, target, preds_f0_rad, target_f0_rad, sr):
+    """Per-item test score row with the reference's full column set
+    (synthesize.py:445-476 ``summarize_eval_scores``): string parameters
+    (x_grid, kappa, alpha), pluck readouts (p_a, p_x), waveform scores
+    (si_sdr, sdr, logmag) and the f0 detune in Hz."""
+    preds = np.asarray(preds, np.float64)
+    target = np.asarray(target, np.float64)
+    u0 = np.asarray(prep["u_0"])[:, 0]  # (B, Nx)
+    p_a = u0.max(-1)
+    p_x = np.argmax(u0, axis=-1) / max(u0.shape[-1] - 1, 1)
+
+    sisdr = np.asarray(si_sdr(target, preds))
+    sdr = np.asarray(si_sdr(target, preds, scaling=False))
+    X = np.asarray(stft_mag(preds, 1024, 256))
+    Y = np.asarray(stft_mag(target, 1024, 256))
+    logmag = np.abs(
+        20 * np.log10(X + 1e-5) - 20 * np.log10(Y + 1e-5)
+    ).reshape(X.shape[0], -1).mean(-1)
+
+    est = np.asarray(preds_f0_rad)
+    tgt = np.asarray(target_f0_rad)
+    n = min(est.shape[-1], tgt.shape[-1])
+    detune = (
+        np.abs(est[..., :n] - tgt[..., :n]).mean(-1) / (2 * math.pi) * sr
+    )
+    return {
+        "x_grid": np.asarray(prep["xg"])[:, 0],
+        "kappa": np.asarray(prep["ka"])[:, 0],
+        "alpha": np.asarray(prep["al"])[:, 0],
+        "p_a": p_a,
+        "p_x": p_x,
+        "si_sdr": sisdr,
+        "sdr": sdr,
+        "logmag": logmag,
+        "f0_error": detune,
+    }

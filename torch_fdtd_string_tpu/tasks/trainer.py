@@ -58,12 +58,20 @@ def _init_state(args, model, tx, sample_prep, seed):
     return S.TrainState(params, constants, opt_state, 0, s_rng)
 
 
-def save_checkpoint(save_dir, state, step):
+def save_checkpoint(save_dir, state, step, with_opt=True):
+    """Write ``step_<n>`` (params + constants, the inference artifact the
+    reference keeps as the Lightning ckpt) and, when training, a sibling
+    ``optstate_<n>`` so ``train(resume=...)`` restores mid-run exactly."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(_ckpt_dir(save_dir), f"step_{step}"))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, {"params": state.params, "constants": state.constants}, force=True)
+    if with_opt and state.opt_state is not None:
+        opath = os.path.abspath(
+            os.path.join(_ckpt_dir(save_dir), f"optstate_{step}")
+        )
+        ckptr.save(opath, {"opt_state": state.opt_state}, force=True)
     ckptr.wait_until_finished()
     return path
 
@@ -188,11 +196,16 @@ def train(args, save_dir):
     gc = task.grad_clip
     if isinstance(gc, (list, tuple)) and gc and gc[0]:
         grad_clip = gc[0]
+    # schedules decay over the REAL run horizon (epochs x steps/epoch), not a
+    # hardcoded default (reference relies on Lightning's trainer length)
+    steps_per_epoch = max(len(trainset) // task.batch_size, 1)
+    total_steps = int(task.total_epoch) * steps_per_epoch
     tx, schedule, needs_value = optlib.build(
         args.optimizer._name_, dict(args.optimizer),
         args.get("scheduler", {}).get("_name_") if args.get("scheduler") else None,
         dict(args.get("scheduler") or {}),
         grad_clip,
+        total_steps=total_steps,
     )
 
     first = next(iter(train_loader))
@@ -200,6 +213,28 @@ def train(args, save_dir):
     state = _init_state(args, model, tx, prep0, args.proc.seed)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
     print(f"[trainer] params: {n_params/1e6:.2f}M; criteria: {criteria}")
+
+    start_step = 0
+    if task.get("resume"):
+        # restore params/constants + optimizer state from the latest
+        # checkpoint in this run dir (reference relies on Lightning ckpt +
+        # wandb resume='allow', trainer.py:47)
+        ckpt = latest_checkpoint(save_dir)
+        restored = load_checkpoint(
+            ckpt, {"params": state.params, "constants": state.constants}
+        )
+        start_step = int(ckpt.split("_")[-1])
+        opt_path = ckpt.replace(f"step_{start_step}", f"optstate_{start_step}")
+        opt_state = state.opt_state
+        if os.path.isdir(opt_path):
+            opt_state = load_checkpoint(
+                opt_path, {"opt_state": state.opt_state}
+            )["opt_state"]
+        state = S.TrainState(
+            restored["params"], restored["constants"], opt_state,
+            start_step, jax.random.fold_in(state.rng, start_step),
+        )
+        print(f"[trainer] resumed from {ckpt} (step {start_step})")
 
     train_step = S.make_train_step(model, tx, registry, criteria, inharmonic, needs_value)
     eval_step = S.make_eval_step(model, registry, criteria, inharmonic)
@@ -228,9 +263,12 @@ def train(args, save_dir):
         )
         shuffle_rng = np.random.default_rng(args.proc.seed)
 
-    step = 0
+    from ..utils.profiling import Timer
+
+    prof = Timer()
+    step = start_step
     best_val = float("inf")
-    for epoch in range(task.total_epoch):
+    for epoch in range(start_step // steps_per_epoch, task.total_epoch):
         t0 = time.time()
         if gather is not None:
             order = shuffle_rng.permutation(n_train)
@@ -243,17 +281,20 @@ def train(args, save_dir):
             batch_iter = (
                 S.prepare_batch(b, model.n_modes, block, sr) for b in train_loader
             )
-        for prep in batch_iter:
-            state, loss_dict = train_step(state, prep)
-            step += 1
-            if step <= 3 or step % 200 == 0:
-                jax.block_until_ready(loss_dict)
-                print(f"[trainer] step {step} done @ {time.time() - t0:.1f}s "
-                      f"(epoch {epoch})", flush=True)
-            if step % 50 == 0:
-                rec = {"epoch": epoch, "step": step, "split": "train"}
-                rec.update({f"train/{k}": np.asarray(v) for k, v in loss_dict.items()})
-                _log(save_dir, rec)
+        with prof.scope("train_epoch"):
+            for prep in batch_iter:
+                with prof.scope("train_step"):
+                    state, loss_dict = train_step(state, prep)
+                step += 1
+                if step <= 3 or step % 200 == 0:
+                    jax.block_until_ready(loss_dict)
+                    print(f"[trainer] step {step} done @ {time.time() - t0:.1f}s "
+                          f"(epoch {epoch})", flush=True)
+                if step % 50 == 0:
+                    rec = {"epoch": epoch, "step": step, "split": "train",
+                           "lr": float(schedule(step))}
+                    rec.update({f"train/{k}": np.asarray(v) for k, v in loss_dict.items()})
+                    _log(save_dir, rec)
         # validation
         if (epoch + 1) % max(task.valid_epoch, 1) == 0:
             vals = []
@@ -284,6 +325,7 @@ def train(args, save_dir):
                 for k in vals[0]
             } if vals else {}
             mean.update({"epoch": epoch, "step": step, "split": "valid",
+                         "lr": float(schedule(step)),
                          "epoch_time": time.time() - t0})
             _log(save_dir, mean)
             print(f"[trainer] epoch {epoch} step {step} "
@@ -294,6 +336,8 @@ def train(args, save_dir):
                 best_val = vloss
                 save_checkpoint(save_dir, state, step)
     save_checkpoint(save_dir, state, step)
+    # Lightning 'simple'-profiler-style summary (reference trainer.py:68)
+    prof.dump(os.path.join(save_dir, "profile.json"))
     return state
 
 
@@ -335,23 +379,54 @@ def evaluate(args, save_dir):
     state = S.TrainState(restored["params"], restored["constants"], None, 0, rng)
     eval_step = S.make_eval_step(model, registry, criteria, inharmonic)
 
-    score_dir = os.path.join(save_dir, "score")
-    os.makedirs(score_dir, exist_ok=True)
-    out_rows, mod_rows = [], []
+    from ..models.objective import build_metric_registry
+    from .callbacks import plot_state_video, save_test_results
+
+    metric_registry = build_metric_registry(sr)
+    eval_criteria = [
+        c for c in task.get("eval_criteria", []) if c in metric_registry
+    ]
+
+    header = ["x_grid", "kappa", "alpha", "p_a", "p_x",
+              "si_sdr", "sdr", "logmag", "f0_error"]
+    out_rows, mod_rows, ids = [], [], []
     for bi, batch in enumerate(test_loader):
         prep = S.prepare_batch(batch, model.n_modes, block, sr)
         outputs, _ = eval_step(state, prep, jax.random.key(bi))
-        gt_f0_hz = np.asarray(prep["gt_f0"]) / (2 * np.pi) * sr
-        model_scores = S.item_scores(
-            outputs["preds"], outputs["target"], sr, gt_f0_hz,
-            np.asarray(outputs["preds_f0"]),
+        n = np.asarray(outputs["preds"]).shape[-1]
+        analytic = prep["analytic"][..., :n]
+        # model vs FDTD ground truth; modal baseline uses its own pitch track
+        # ua_f0 (reference synthesize.py:421-426)
+        model_scores = S.summarize_eval_scores(
+            prep, outputs["preds"], outputs["target"],
+            outputs["preds_f0"], prep["gt_f0"], sr,
         )
-        analytic = prep["analytic"][..., : np.asarray(outputs["preds"]).shape[-1]]
-        modal_scores = S.item_scores(analytic, outputs["target"], sr)
+        an_f0 = prep.get("an_f0", prep["gt_f0"])
+        modal_scores = S.summarize_eval_scores(
+            prep, analytic, outputs["target"], an_f0, prep["gt_f0"], sr,
+        )
+        # running metric accumulators (reference compute_eval("test", batch),
+        # torchmetrics dist_reduce_fx="sum" semantics — objective.py)
+        for c in eval_criteria:
+            metric, keys = metric_registry[c]
+            pool = {k: np.asarray(v) for k, v in outputs.items()}
+            metric.update(*[pool[k] for k in keys])
         for i in range(len(analytic)):
-            out_rows.append([float(model_scores[k][i]) for k in model_scores])
-            mod_rows.append([float(modal_scores[k][i]) for k in modal_scores])
-        if bi == 0 and task.get("plot"):
+            ids.append(f"0-{bi}-{i}")
+            out_rows.append([float(model_scores[k][i]) for k in header])
+            mod_rows.append([float(modal_scores[k][i]) for k in header])
+        if task.get("plot_test_video"):
+            # the test batch dim is the spatial axis of one string
+            # (reference callbacks.py:137-179 PlotStateVideo.summary)
+            gain = np.asarray(prep.get("gain", np.ones((1, 1))))
+            est = (np.asarray(outputs["preds"]) * gain).T
+            tar = (np.asarray(outputs["target"]) * gain).T
+            ana = (np.asarray(analytic) * gain).T
+            plot_state_video(
+                os.path.join(save_dir, "state"), est, ana, tar, sr,
+                name=f"0-{bi}",
+            )
+        elif bi == 0 and task.get("plot"):
             uplot.rainbowgram(
                 os.path.join(save_dir, "test_pred_spec.pdf"),
                 np.asarray(outputs["preds"])[0], sr,
@@ -361,19 +436,18 @@ def evaluate(args, save_dir):
                 np.asarray(outputs["target"])[0], sr,
             )
 
-    def _write(path, rows, header):
-        with open(path, "w") as f:
-            f.write("\t".join(header) + "\n")
-            for r in rows:
-                f.write("\t".join(f"{v:.6f}" for v in r) + "\n")
-            if rows:
-                mean = np.mean(np.asarray(rows), axis=0)
-                f.write("# mean\t" + "\t".join(f"{v:.6f}" for v in mean) + "\n")
-
-    _write(os.path.join(score_dir, "output.txt"), out_rows,
-           ["si_sdr", "sdr", "logmag", "f0_hz"])
-    _write(os.path.join(score_dir, "modals.txt"), mod_rows,
-           ["si_sdr", "sdr", "logmag"])
+    save_test_results(save_dir, out_rows, header, name="output", ids=ids)
+    save_test_results(save_dir, mod_rows, header, name="modals", ids=ids)
+    if eval_criteria:
+        rec = {"split": "test"}
+        rec.update({
+            f"test/{c}": metric_registry[c][0].compute() for c in eval_criteria
+        })
+        _log(save_dir, rec)
+        print("[trainer] test metrics: "
+              + " ".join(f"{c}={metric_registry[c][0].compute():.4f}"
+                         for c in eval_criteria))
+    score_dir = os.path.join(save_dir, "score")
     print(f"[trainer] wrote scores for {len(out_rows)} items -> {score_dir}")
     return out_rows, mod_rows
 

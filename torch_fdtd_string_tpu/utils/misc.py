@@ -37,23 +37,6 @@ def downsample(x, factor=None, size=None):
     return x[:, lo] * (1 - frac) + x[:, hi] * frac
 
 
-def f0_interpolate(f0_1, n_frames, tmax):
-    t_0 = np.linspace(0, tmax, n_frames)
-    t_1 = np.linspace(0, tmax, f0_1.shape[0])
-    return np.interp(t_0, t_1, f0_1)
-
-
-def sinusoidal_embedding(x, n, gain=10000):
-    """Sin/cos positional embedding (misc.py:211-223). x: (...,) -> (..., n)."""
-    assert n % 2 == 0
-    x = np.asarray(x)[..., None]
-    half = n // 2
-    expnt = np.arange(half)
-    emb = np.exp(expnt * -(np.log(gain) / (half - 1)))
-    ang = x * emb
-    return np.concatenate([np.sin(ang), np.cos(ang)], axis=-1)
-
-
 def save_simulation_data(directory, excitation_type, overall_results, constants):
     """Write the 4 npz bundles + short yaml (reference misc.py:235-299).
 
@@ -113,43 +96,3 @@ def save_simulation_data(directory, excitation_type, overall_results, constants)
     np.savez_compressed(f"{directory}/bow_params.npz", **bow_dict)
     with open(f"{directory}/simulation_config.yaml", "w") as f:
         yaml.dump(short, f, default_flow_style=False)
-
-
-def minmax_normalize(x, axis=-1):
-    """(reference misc.py:156-161)."""
-    x = np.asarray(x)
-    x_min = x.min(axis=axis, keepdims=True)
-    x = x - x_min
-    x_max = x.max(axis=axis, keepdims=True)
-    return x / np.where(x_max == 0, 1.0, x_max)
-
-
-def get_minmax(x):
-    """(reference misc.py:163-166)."""
-    x = np.asarray(x)
-    if np.isnan(x.sum()):
-        return None, None
-    return np.nan_to_num(x.min()), np.nan_to_num(x.max())
-
-
-def batched_index_select(x, dim, index):
-    """Select ``index`` along ``dim`` (reference misc.py:183-193)."""
-    return np.take(np.asarray(x), np.asarray(index, int), axis=dim)
-
-
-def random_index(max_N, idx_N, rng=None):
-    """(reference misc.py:195-201)."""
-    rng = rng or np.random.default_rng()
-    if max_N < idx_N:
-        return rng.integers(0, max_N, idx_N)
-    return rng.permutation(max_N)[:idx_N]
-
-
-def add_noise(x, c, vals, eps=1e-5, rng=None):
-    """Add noise where a condition array matches values (misc.py:301-306)."""
-    rng = rng or np.random.default_rng()
-    x = np.asarray(x).copy()
-    noise = eps * rng.standard_normal(x.shape)
-    for val in vals:
-        x = x + (np.asarray(c) == val) * noise
-    return x
