@@ -1,30 +1,43 @@
 #!/usr/bin/env python3
-"""Headline benchmark: batched string-FDTD throughput on one chip.
+"""Benchmark matrix: the five BASELINE.md configs on one chip.
 
-Workload: the reference's default simulation shape (batch 16, 1 s @ 48 kHz,
-randomized pluck strings, single precision, artifact collection off — the
-reference's ``measure_time`` mode also disables saving, simulate.py:278-331
-/ run.py:96-99).
+Prints ONE JSON line whose headline keys keep the round-1 contract
+(``metric``/``value``/``unit``/``vs_baseline`` = default pluck B=16
+audio-seconds simulated per wall-second) and whose ``matrix`` field carries
+the full BASELINE benchmark set (BASELINE.md:24-26):
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  1. pluck_b16     — default workload (task/simulate.yaml:4-20), compute only
+  2. pluck_b256    — large-batch randomized generation
+  3. bow_b16       — bowed Helmholtz-motion workload (kernel's hard case)
+  4. nsynth100_e2e — nsynth-like 100-sample end-to-end wall (artifacts on)
+  5. dmsp_train_step — DMSP training step, B=128, 1 s clips, full loss set
 
-``vs_baseline`` compares against the torch reference engine measured on
-this machine's CPU (single thread, the reference's own CPU protocol),
-stored in ``bench_baseline.json``.  The reference's GPU path is not
-benchmarkable here (no CUDA device); the CPU baseline is the honest
-available comparison.
+Each entry reports audio_s/s and string_steps/s (the two BASELINE metrics).
+``vs_baseline`` compares against the torch reference engine measured on this
+machine's CPU (stored in ``bench_baseline.json``; no CUDA device exists
+here — reference measurement protocol: /root/reference/src/task/simulate.py:278-331).
+
+The axon TPU relay in this environment has time-varying throughput (it can
+degrade ~100x for minutes at a time), so every timing is min-of-N with a
+small-matmul calibration probe; degraded windows trigger bounded retries
+instead of silently recording a 100x-worse number.
 """
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 import numpy as np
 
+ROOT = os.path.dirname(os.path.abspath(__file__))
+CONFIG_DIR = os.path.join(ROOT, "torch_fdtd_string_tpu", "configs")
 
-def build_workload(B=16, length=1.0, sr=48000, seed=7):
+
+def build_workload(B=16, length=1.0, sr=48000, seed=7, bowed=False):
+    """Default randomized pluck workload (or all-bowed variant)."""
     from torch_fdtd_string_tpu.core import params as prm
     from torch_fdtd_string_tpu.core.engine import (
         BowParams,
@@ -43,34 +56,17 @@ def build_workload(B=16, length=1.0, sr=48000, seed=7):
     kappa_max = 0.03
     theta = fdm.get_theta(kappa_max, f0_min, sr)
 
-    pluck_mask = np.ones(B, bool)
+    pluck_mask = np.full(B, not bowed)
+    bow_mask = np.full(B, bowed)
     hammer_mask = np.zeros(B, bool)
     string = prm.sample_string(
-        rng,
-        k=k,
-        theta_t=theta,
-        lambda_c=1.0,
-        sr=sr,
-        length=length,
-        f0_inf=f0_min,
-        alpha_inf=1.0,
-        batch_size=B,
-        precision="single",
-        pluck_batch=True,
-        pluck_mask=pluck_mask,
-        hammer_mask=hammer_mask,
-        f0_min=f0_min,
-        f0_max=f0_max,
-        kappa_min=0.01,
-        kappa_max=kappa_max,
-        alpha_min=1.0,
-        alpha_max=25.0,
-        t60_min_1=10.0,
-        t60_max_1=25.0,
-        t60_min_2=10.0,
-        t60_max_2=30.0,
-        p_a_max=0.02,
-        p_x_max=0.5,
+        rng, k=k, theta_t=theta, lambda_c=1.0, sr=sr, length=length,
+        f0_inf=f0_min, alpha_inf=1.0, batch_size=B, precision="single",
+        pluck_batch=not bowed, pluck_mask=pluck_mask, hammer_mask=hammer_mask,
+        f0_min=f0_min, f0_max=f0_max, kappa_min=0.01, kappa_max=kappa_max,
+        alpha_min=1.0, alpha_max=25.0,
+        t60_min_1=10.0, t60_max_1=25.0, t60_min_2=10.0, t60_max_2=30.0,
+        p_a_max=0.02, p_x_max=0.5,
     )
     bow = prm.sample_bow(
         rng, sr=sr, length=length, batch_size=B, precision="single"
@@ -80,7 +76,6 @@ def build_workload(B=16, length=1.0, sr=48000, seed=7):
     )
 
     dtype = jnp.float32
-    Nt = int(sr * length)
     u1, u2 = fdm.initialize_state_rows(string.u0, string.v0, k)
     M_l = string.Nx_l + 1
     carry = Carry(
@@ -114,29 +109,21 @@ def build_workload(B=16, length=1.0, sr=48000, seed=7):
         alpha=jnp.asarray(hammer.alpha, dtype),
     )
     consts = SimConsts(
-        k=k,
-        theta_t=float(theta),
-        lambda_c=1.0,
-        relative_error=4.0,
-        M_t=string.Nx_t + 1,
-        M_l=string.Nx_l + 1,
-        surface_integral=True,
-        collect_state=False,
-        has_bow=False,
-        has_hammer=False,
+        k=k, theta_t=float(theta), lambda_c=1.0, relative_error=4.0,
+        M_t=string.Nx_t + 1, M_l=string.Nx_l + 1,
+        surface_integral=True, collect_state=False,
+        has_bow=bowed, has_hammer=False,
     )
-    bm = jnp.zeros((B,), bool)
-    hm = jnp.zeros((B,), bool)
+    bm = jnp.asarray(bow_mask)
+    hm = jnp.asarray(hammer_mask)
+    Nt = int(sr * length)
     steps = jnp.arange(2, Nt, dtype=jnp.int32)
     return (carry, steps, sp, bp, hp, bm, hm, consts), B, length
 
 
 def probe_backend(timeout=120):
-    """Return True if the default JAX backend can actually compute.
-
-    The axon TPU tunnel in this environment can wedge in a way that hangs
-    any jax computation indefinitely; probe it in a killable subprocess.
-    """
+    """True if the default JAX backend can actually compute (the axon relay
+    can wedge so hard that any computation hangs indefinitely)."""
     import subprocess
 
     code = "import jax, jax.numpy as jnp; print(float((jnp.ones((8,128))*2).sum()))"
@@ -149,10 +136,222 @@ def probe_backend(timeout=120):
         return False
 
 
+_CAL_BEST = [None]
+
+
+def _calibrate():
+    """Small-matmul wall time (ms) — detects degraded relay windows."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((2048, 2048))
+    jax.block_until_ready(x @ x)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        y = x @ x
+    jax.block_until_ready(y)
+    ms = (time.perf_counter() - t0) * 200
+    if _CAL_BEST[0] is None or ms < _CAL_BEST[0]:
+        _CAL_BEST[0] = ms
+    return ms
+
+
+def _timed(run, reps, deadline, label):
+    """min-of-reps wall time with degradation-aware retries."""
+    import jax
+
+    jax.block_until_ready(run())  # compile + warm
+    best = float("inf")
+    attempt = 0
+    while True:
+        attempt += 1
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run())
+            times.append(time.perf_counter() - t0)
+        best = min(best, min(times))
+        cal = _calibrate()
+        degraded = _CAL_BEST[0] is not None and cal > 4.0 * _CAL_BEST[0]
+        if not degraded or time.time() > deadline or attempt >= 4:
+            if degraded:
+                sys.stderr.write(
+                    f"[bench] {label}: relay degraded (cal {cal:.0f}ms vs "
+                    f"best {_CAL_BEST[0]:.0f}ms); recording best-so-far\n"
+                )
+            return best
+        sys.stderr.write(
+            f"[bench] {label}: degraded window (cal {cal:.0f}ms); retrying\n"
+        )
+        time.sleep(30)
+
+
+def bench_sim(B, length, bowed, deadline, reps=3):
+    import jax
+
+    args, B, length = build_workload(B=B, length=length, bowed=bowed)
+    (carry, steps, sp, bp, hp, bm, hm, consts) = args
+    label = f"{'bow' if bowed else 'pluck'}_b{B}"
+
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1" and any(
+        d.platform != "cpu" for d in jax.devices()
+    )
+    run = None
+    if use_pallas:
+        from torch_fdtd_string_tpu.ops.pallas_step import string_chunked
+
+        T = (sp.f0.shape[1] - 2) // 512 * 512
+        bow_d = None
+        if bowed:
+            tcut = lambda x: x[:, 2 : 2 + T]
+            bow_d = dict(
+                x_b=tcut(bp.x_b), v_b=tcut(bp.v_b), F_b=tcut(bp.F_b),
+                wid=tcut(bp.wid), phi_0=bp.phi_0, phi_1=bp.phi_1,
+                mask=bm, uH1=carry.uH1, uH2=carry.uH2,
+            )
+
+        def run():
+            return string_chunked(
+                sp.f0[:, 2 : 2 + T], sp.kappa, sp.alpha, sp.pos, sp.T60,
+                carry.u1, carry.u2, carry.z1, carry.z2,
+                k=consts.k, theta_t=consts.theta_t, lambda_c=consts.lambda_c,
+                M_t=consts.M_t, M_l=consts.M_l, chunk=512, coupling_iters=24,
+                surface_integral=consts.surface_integral, bow=bow_d,
+            )
+
+        try:
+            jax.block_until_ready(run())
+        except Exception as err:  # Mosaic rejection -> XLA engine fallback
+            sys.stderr.write(f"[bench] pallas kernel unavailable: {err}\n")
+            use_pallas = False
+            run = None
+    if run is None:
+        from torch_fdtd_string_tpu.core.engine import simulate_chunk
+
+        def run():
+            return simulate_chunk(carry, steps, sp, bp, hp, bm, hm, consts)
+
+    wall = _timed(run, reps, deadline, label)
+    steps_n = B * (int(48000 * length) - 2)
+    return {
+        "audio_s_per_s": round(B * length / wall, 3),
+        "string_steps_per_sec": round(steps_n / wall),
+        "wall_s": round(wall, 4),
+        "backend": "pallas" if use_pallas else "xla",
+    }
+
+
+def bench_nsynth_e2e(n_samples, deadline):
+    """End-to-end nsynth-like generation incl. artifact writes
+    (reference protocol: simulate.py:278-331 with save on)."""
+    from torch_fdtd_string_tpu.tasks import simulate as sim_task
+    from torch_fdtd_string_tpu.utils.config import compose
+
+    batch = 24
+    iters = max(n_samples // batch, 1)
+    args = compose(
+        CONFIG_DIR,
+        [
+            "experiment=nsynth-like",
+            f"task.num_samples={iters * batch}",
+            "task.randomize_name=false",
+        ],
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_nsynth_")
+    try:
+        t0 = time.perf_counter()
+        sim_task.run(args, tmp, "pluck", iters)
+        wall = time.perf_counter() - t0
+        written = len(
+            [d for d in os.listdir(tmp) if os.path.isdir(os.path.join(tmp, d))]
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    audio_s = iters * batch * float(args.task.length)
+    return {
+        "samples": iters * batch,
+        "samples_written": written,
+        "wall_s": round(wall, 2),
+        "audio_s_per_s": round(audio_s / wall, 3),
+        "string_steps_per_sec": round(iters * batch * 47998 / wall),
+    }
+
+
+def bench_dmsp_step(deadline, B=128, reps=5):
+    """DMSP training-step latency, full loss set, synthetic batch."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from torch_fdtd_string_tpu.models.losses import build_loss_registry
+    from torch_fdtd_string_tpu.models.synthesizer import Synthesizer
+    from torch_fdtd_string_tpu.tasks import synthesize as S
+
+    sr, Nt, Nx, block = 48000, 48000, 256, 256
+    n_frames = Nt // block + 1
+    n_modes = 40
+    model = Synthesizer(
+        n_modes=n_modes, n_bands=65, hidden_dim=512, embed_dim=128,
+        block_size=block, sr=sr,
+    )
+    rng = np.random.default_rng(0)
+    prep = {
+        "xg": jnp.asarray(rng.uniform(0.2, 0.8, (B, 1)), jnp.float32),
+        "tg": jnp.tile(jnp.arange(Nt, dtype=jnp.float32) / sr, (B, 1)),
+        "ka": jnp.asarray(rng.uniform(0.01, 0.03, (B, 1)), jnp.float32),
+        "al": jnp.asarray(rng.uniform(1, 10, (B, 1)), jnp.float32),
+        "t60": jnp.tile(
+            jnp.asarray([[[1000.0, 20.0], [100.0, 18.0]]], jnp.float32),
+            (B, 1, 1),
+        ),
+        "f_k": jnp.asarray(
+            np.cumsum(rng.uniform(0.01, 0.02, (B, 1, n_modes)), -1), jnp.float32
+        ),
+        "c_k": jnp.asarray(rng.normal(0, 0.01, (B, 1, n_modes)), jnp.float32),
+        "f_0": jnp.asarray(
+            rng.uniform(100, 400, (B, 1)).repeat(n_frames, 1), jnp.float32
+        ),
+        "u_0": jnp.zeros((B, 1, Nx), jnp.float32).at[:, 0, 40].set(0.01),
+        "gt": jnp.asarray(rng.normal(0, 0.01, (B, Nt)), jnp.float32),
+        "gt_f0": jnp.asarray(
+            rng.uniform(0.01, 0.05, (B, 1)).repeat(n_frames, 1), jnp.float32
+        ),
+    }
+    variables = model.init(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)},
+        [prep["xg"], prep["tg"], prep["ka"], prep["al"], prep["t60"],
+         prep["f_k"], prep["c_k"]],
+        prep["f_0"],
+        prep["u_0"],
+    )
+    tx = optax.radam(1e-3)
+    state = S.TrainState(
+        variables["params"],
+        {k: v for k, v in variables.items() if k != "params"},
+        tx.init(variables["params"]),
+        0,
+        jax.random.key(2),
+    )
+    registry = build_loss_registry(sr, Nt)
+    criteria = ["l1", "magspec", "melspec", "f0", "modefreq", "modeamps"]
+    step_fn = S.make_train_step(model, tx, registry, criteria, True)
+
+    holder = {"state": state}
+
+    def run():
+        holder["state"], ld = step_fn(holder["state"], prep)
+        return ld
+
+    wall = _timed(run, reps, deadline, "dmsp_train_step")
+    return {
+        "ms_per_step": round(wall * 1e3, 2),
+        "samples_per_sec": round(B / wall, 1),
+        "batch": B,
+    }
+
+
 def main():
     if os.environ.get("_BENCH_CHILD") != "1":
-        # orchestrate: probe the default (TPU) backend; fall back to a
-        # clean-env CPU run if the tunnel is wedged
         import subprocess
 
         env = dict(os.environ)
@@ -161,67 +360,48 @@ def main():
             sys.stderr.write("[bench] default backend wedged; CPU fallback\n")
             env["PYTHONPATH"] = ""
             env["JAX_PLATFORMS"] = "cpu"
-            env.setdefault("BENCH_B", "4")
-            env.setdefault("BENCH_LEN", "0.25")
+            env["BENCH_FAST"] = "1"
         r = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
         sys.exit(r.returncode)
 
     import jax
 
-    from torch_fdtd_string_tpu.core.engine import simulate_chunk
-
-    cache_dir = os.environ.get("JAX_CACHE_DIR", os.path.expanduser("~/.jax_fdtd_cache"))
+    cache_dir = os.environ.get(
+        "JAX_CACHE_DIR", os.path.expanduser("~/.jax_fdtd_cache")
+    )
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    B = int(os.environ.get("BENCH_B", "16"))
-    length = float(os.environ.get("BENCH_LEN", "1.0"))
-    args, B, length = build_workload(B=B, length=length)
-    (carry, steps, sp, bp, hp, bm, hm, consts) = args
+    fast = os.environ.get("BENCH_FAST") == "1"
+    deadline = time.time() + float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    _calibrate()
 
-    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1" and any(
-        d.platform != "cpu" for d in jax.devices()
-    )
-    if use_pallas:
-        from torch_fdtd_string_tpu.ops.pallas_step import pluck_chunked
+    matrix = {}
 
-        T = (sp.f0.shape[1] - 2) // 512 * 512
-
-        def run():
-            return pluck_chunked(
-                sp.f0[:, 2 : 2 + T], sp.kappa, sp.alpha, sp.pos, sp.T60,
-                carry.u1, carry.u2, carry.z1, carry.z2,
-                k=consts.k, theta_t=consts.theta_t, lambda_c=consts.lambda_c,
-                M_t=consts.M_t, M_l=consts.M_l, chunk=512, coupling_iters=24,
-                surface_integral=consts.surface_integral,
-            )
-
+    def section(name, fn, *a, **kw):
         try:
-            jax.block_until_ready(run())
-        except Exception as err:  # Mosaic rejection -> XLA engine fallback
-            sys.stderr.write(f"[bench] pallas kernel unavailable: {err}\n")
-            use_pallas = False
-    if not use_pallas:
+            matrix[name] = fn(*a, **kw)
+        except Exception as err:
+            matrix[name] = {"error": f"{type(err).__name__}: {err}"}
+            sys.stderr.write(f"[bench] {name} failed: {err}\n")
 
-        def run():
-            return simulate_chunk(carry, steps, sp, bp, hp, bm, hm, consts)
+    if fast:
+        section("pluck_b16", bench_sim, 4, 0.25, False, deadline)
+    else:
+        section("pluck_b16", bench_sim, 16, 1.0, False, deadline)
+        section("pluck_b256", bench_sim, 256, 1.0, False, deadline)
+        section("bow_b16", bench_sim, 16, 1.0, True, deadline)
+        if os.environ.get("BENCH_E2E", "1") == "1":
+            section("nsynth100_e2e", bench_nsynth_e2e, 100, deadline)
+        section("dmsp_train_step", bench_dmsp_step, deadline)
 
-        jax.block_until_ready(run())
+    head = matrix.get("pluck_b16", {})
+    value = head.get("audio_s_per_s", 0.0)
 
-    reps = int(os.environ.get("BENCH_REPS", "3"))
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run())
-        times.append(time.perf_counter() - t0)
-    wall = min(times)
-    audio_sec = B * length
-    value = audio_sec / wall
-
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+    base_path = os.path.join(ROOT, "bench_baseline.json")
     vs = 0.0
-    if os.path.exists(base_path):
+    if os.path.exists(base_path) and value:
         with open(base_path) as f:
             base = json.load(f)
         if base.get("audio_sec_per_wall_sec"):
@@ -231,9 +411,12 @@ def main():
         json.dumps(
             {
                 "metric": "audio_sec_simulated_per_wall_sec_per_chip_48khz_b16",
-                "value": round(value, 3),
+                "value": value,
                 "unit": "audio_s/s",
                 "vs_baseline": round(vs, 2),
+                "string_steps_per_sec": head.get("string_steps_per_sec", 0),
+                "calibration_ms": round(_CAL_BEST[0] or 0.0, 1),
+                "matrix": matrix,
             }
         )
     )

@@ -145,3 +145,70 @@ def test_pallas_excitations_match_engine(exc):
     F_eng = np.asarray(o["F_H"]).T
     scale = max(np.abs(F_eng).max(), 1.0)
     assert np.abs(np.asarray(aux["F_H"]) - F_eng).max() / scale < 1e-3
+
+
+def _kernel_mms(f0v, sr, T, kappa=0.03, t60=20.0, p_a=0.01, chunk=256):
+    """MMS error of the fused kernel (interpret mode, f64): forcing injected
+    in-kernel (vnv.cpp:11-37) and the state field compared to the closed form
+    ``p_a cos^2(pi x) cos(gamma t) exp(-sig0 t)`` (analytic.py:21-27)."""
+    import sys, os as _os
+
+    sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    from torch_fdtd_string_tpu.ops import stencils as st
+    from torch_fdtd_string_tpu.ops.fdm import get_derived_vars_np, get_theta
+    from torch_fdtd_string_tpu.ops.pallas_step import string_chunked
+    from torch_fdtd_string_tpu.utils.audio import T60_to_sigma
+
+    B = 1
+    dt = jnp.float64
+    k_step = 1.0 / sr
+    theta = get_theta(kappa, f0v, sr)
+    _, _, nx_t, _, nx_l, _ = get_derived_vars_np(f0v, 0.0, k_step, theta, 1.0, 1.0)
+    M_t, M_l = nx_t + 1, nx_l + 1
+    _, _, N_t, _, _, _ = get_derived_vars_np(f0v, kappa, k_step, theta, 1.0, 1.0)
+
+    f0 = jnp.full((B, T), f0v, dt)
+    T60 = jnp.tile(jnp.array([[[1000.0, t60], [100.0, t60]]], dt), (B, 1, 1))
+    x_grid = st.domain_x(M_t, jnp.full((B,), float(N_t), dt))
+    u0 = st.mask_live(p_a * jnp.cos(np.pi * x_grid) ** 2,
+                      jnp.full((B,), N_t + 1.0, dt))
+    uout, zout, aux = string_chunked(
+        f0,
+        jnp.full((B,), kappa, dt),
+        jnp.full((B,), 1.0, dt),
+        jnp.full((B,), 0.5, dt),
+        T60,
+        u0, u0,
+        jnp.zeros((B, M_l), dt), jnp.zeros((B, M_l), dt),
+        k=k_step, theta_t=float(theta), lambda_c=1.0,
+        M_t=M_t, M_l=M_l, chunk=chunk, batch_block=1,
+        coupling_iters=24, relative_error=8.0,
+        collect_state=True, interpret=True,
+        manufactured=True, mms_centered=True,
+        p_a=jnp.full((B,), p_a, dt),
+    )
+    su = np.asarray(aux["state_u"])[:, 0, : N_t + 1]  # rows = steps 2..T+1
+
+    gamma = 2.0 * f0v
+    sig0 = float(
+        T60_to_sigma(np.asarray(T60), jnp.array([gamma]),
+                     jnp.array([kappa * gamma]))[0][0]
+    )
+    x = np.linspace(-0.5, 0.5, N_t + 1)
+    t = (2.0 + np.arange(T)) * k_step
+    exact = (
+        p_a * np.cos(np.pi * x)[None, :] ** 2
+        * np.cos(gamma * t)[:, None] * np.exp(-sig0 * t)[:, None]
+    )
+    return np.abs(su - exact).max() / p_a
+
+
+def test_pallas_mms_tracks_closed_form_and_converges():
+    """Same convergence contract as tests/test_engine.py::_run_mms, but the
+    forcing runs INSIDE the fused kernel — validating the kernel against the
+    closed form, not just against the engine."""
+    # identical physical horizon: T doubles with sr
+    err_coarse = _kernel_mms(220.0, sr=48000, T=1024)
+    err_fine = _kernel_mms(220.0, sr=96000, T=2048)
+    assert err_coarse < 0.02, err_coarse
+    assert err_fine < err_coarse / 1.7, (err_fine, err_coarse)

@@ -90,6 +90,8 @@ class KernelConsts(NamedTuple):
     has_hammer: bool = False
     relative_error: float = 4.0
     hammer_max_iter: int = 40
+    manufactured: bool = False  # MMS forcing (vnv.cpp:11-37)
+    mms_centered: bool = True
 
 
 # backwards-compatible alias
@@ -110,6 +112,8 @@ def _kernel(consts: KernelConsts, *refs):
     alpha_ref = nxt()
     pos_ref = nxt()
     t60_ref = nxt()
+    if consts.manufactured:
+        pa_ref = nxt()
     u1_in = nxt()
     u2_in = nxt()
     z1_in = nxt()
@@ -373,6 +377,27 @@ def _kernel(consts: KernelConsts, *refs):
         B4z1 = -2.0 * z1 - gamma_k * alpha**2 * dxx(z1, h_l)
         C4z2 = (1.0 - 2.0 * sig0 * k) * z2 + 2.0 * sig1 * k * dxx(z2, h_l)
         rhs_z = B4z1 + C4z2 + K_lt_from(iu2)
+        if consts.manufactured:
+            # manufactured-solution forcing (vnv.cpp:11-37; engine
+            # ``mms_forcing``): sigma==sig0, omega==gamma, mu==pi
+            p_a_m = pa_ref[:]
+            mu = np.pi
+            n_glob = (ci * consts.chunk + t + 2).astype(dt)
+            t_now = (n_glob - (1.0 if consts.mms_centered else 0.0)) * k
+
+            def _mms(x):
+                c1 = (sig0**2 - gamma**2 - 2.0 * sig0 * sig0) * jnp.cos(mu * x) ** 2
+                c2 = (2.0 * mu**2 * (4.0 * K**2 * mu**2 + gamma**2)) * jnp.cos(
+                    2.0 * mu * x
+                )
+                return (
+                    p_a_m * (c1 + c2) * jnp.cos(gamma * t_now)
+                    * jnp.exp(-sig0 * t_now)
+                )
+
+            x_u = (jnp.clip(2.0 * itf / N_t, 0.0, 2.0) - 1.0) / 2.0
+            rhs_u0 = rhs_u0 - _mms(x_u) * k**2
+            rhs_z = rhs_z - _mms(jnp.full((B, MP), 0.5, dt)) * k**2
         z_keep = jnp.clip(N_t + N_l + 2.0 - M_t, 0.0, n_l)
         rhs_z = rhs_z * (itf < z_keep).astype(dt)
 
@@ -548,7 +573,8 @@ def string_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
                    k, theta_t, lambda_c, M_t, M_l, chunk=512,
                    coupling_iters=24, surface_integral=False, interpret=False,
                    batch_block=32, collect_state=False,
-                   bow=None, hammer=None, relative_error=4.0):
+                   bow=None, hammer=None, relative_error=4.0,
+                   manufactured=False, mms_centered=True, p_a=None):
     """Run the fused string kernel over a full (B, T) control signal.
 
     ``bow`` (optional): dict with x_b/v_b/F_b/wid (B, T) and phi_0/phi_1/
@@ -576,6 +602,7 @@ def string_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
         surface_integral=surface_integral, collect_state=collect_state,
         has_bow=has_bow, has_hammer=has_hammer,
         relative_error=float(relative_error),
+        manufactured=bool(manufactured), mms_centered=bool(mms_centered),
     )
     t60_flat = jnp.stack(
         [t60[:, 0, 0], t60[:, 0, 1], t60[:, 1, 0], t60[:, 1, 1]], axis=1
@@ -588,12 +615,14 @@ def string_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
 
     inputs = [
         f0, kappa[:, None], alpha[:, None], pos[:, None], t60_flat,
-        u1, u2, z1, z2,
     ]
-    in_specs = [
-        tspec, bbspec(1), bbspec(1), bbspec(1), bbspec(4),
-        bbspec(M_t), bbspec(M_t), bbspec(M_l), bbspec(M_l),
-    ]
+    in_specs = [tspec, bbspec(1), bbspec(1), bbspec(1), bbspec(4)]
+    if manufactured:
+        assert p_a is not None, "MMS forcing needs the p_a amplitude"
+        inputs += [p_a[:, None]]
+        in_specs += [bbspec(1)]
+    inputs += [u1, u2, z1, z2]
+    in_specs += [bbspec(M_t), bbspec(M_t), bbspec(M_l), bbspec(M_l)]
     if has_bow:
         inputs += [
             bow["x_b"], bow["v_b"], bow["F_b"], bow["wid"],

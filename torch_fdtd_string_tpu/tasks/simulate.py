@@ -77,7 +77,8 @@ class _DeferredState:
 
 
 def _pallas_eligible(consts: SimConsts, device, dtype):
-    """The fused TPU kernel covers all excitations (no MMS, f32 only)."""
+    """The fused TPU kernel covers all excitations incl. MMS (f32 only;
+    double-precision verification runs stay on the CPU/XLA engine)."""
     import os
 
     if os.environ.get("FDTD_NO_PALLAS") == "1":
@@ -86,7 +87,7 @@ def _pallas_eligible(consts: SimConsts, device, dtype):
         return False
     import numpy as _np
 
-    return not consts.manufactured and dtype == _np.float32
+    return dtype == _np.float32
 
 
 def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
@@ -160,6 +161,9 @@ def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
         bow=bow_d,
         hammer=hammer_d,
         relative_error=consts.relative_error,
+        manufactured=consts.manufactured,
+        mms_centered=consts.mms_centered,
+        p_a=f32(state.p_a) if consts.manufactured else None,
     )
     uout = np.asarray(uout_d)[:, :T]
     zout = np.asarray(zout_d)[:, :T]
