@@ -172,7 +172,11 @@ def _timed(run, reps, deadline, label):
             times.append(time.perf_counter() - t0)
         best = min(best, min(times))
         cal = _calibrate()
-        degraded = _CAL_BEST[0] is not None and cal > 4.0 * _CAL_BEST[0]
+        # degraded = both well above the best-seen calibration AND above an
+        # absolute floor (RPC latency jitter of a healthy relay is tens of ms)
+        degraded = _CAL_BEST[0] is not None and cal > max(
+            4.0 * _CAL_BEST[0], 60.0
+        )
         if not degraded or time.time() > deadline or attempt >= 4:
             if degraded:
                 sys.stderr.write(

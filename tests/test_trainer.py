@@ -193,3 +193,50 @@ def test_schedule_real_horizon():
                               total_steps=total)
     assert float(sch2(100)) == pytest.approx(1e-3)
     assert float(sch2(total)) == pytest.approx(0.0, abs=2e-5)
+
+
+def test_plot_parity_artifacts(tmp_path):
+    """Reference plot-panel set: simulation_data (string/bow/hammer pngs),
+    state_specs, est_tar_specs, detune_scatter (plot.py:84-217, 219-268,
+    926-1034, 682-820 roles)."""
+    from torch_fdtd_string_tpu.utils import plot as uplot
+
+    sr, Nt, Nx = 48000, 4096, 32
+    rng = np.random.default_rng(0)
+    t = np.arange(Nt) / sr
+    uout = 0.01 * np.sin(2 * np.pi * 220 * t)
+    zout = 0.001 * np.sin(2 * np.pi * 440 * t)
+    v_r = 0.1 * np.sin(2 * np.pi * 5 * t)
+    F_H = np.exp(-t * 500) * 100
+    u_H = np.exp(-t * 500) * 0.01
+    state_u = uout[:, None] * np.sin(np.pi * np.linspace(0, 1, Nx))[None, :]
+    state_z = zout[:, None] * np.sin(np.pi * np.linspace(0, 1, 8))[None, :]
+    d = str(tmp_path / "panels")
+    uplot.simulation_data(
+        d, uout, zout, v_r, F_H, u_H, state_u, state_z,
+        string_params=[0.02, 1.0, state_u[:1], 0 * state_u[:1], 0.01,
+                       np.full(Nt, 220.0), 0.3,
+                       np.array([[1000.0, 20.0], [100.0, 18.0]]), 221.0],
+        bow_params=[np.full(Nt, 0.25), np.full(Nt, 0.2), np.full(Nt, 50.0),
+                    5.0, 0.1, np.full(Nt, 4.0)],
+        hammer_params=[0.3, np.full(Nt, 1.0), np.zeros(Nt), 2000.0, 5.0, 3.0],
+        sr=sr,
+    )
+    for f in ("string.png", "bow.png", "bow-velforce.pdf", "hammer.png"):
+        assert os.path.exists(os.path.join(d, f)), f
+
+    uplot.state_specs(str(tmp_path / "specs.pdf"),
+                      state_u * 0.9, state_u * 1.1, state_u)
+    assert os.path.exists(tmp_path / "specs.pdf")
+
+    paths = uplot.est_tar_specs(str(tmp_path), uout[None] * 1.1, uout[None],
+                                uout[None] * 0.9, sr)
+    assert all(os.path.exists(p) for p in paths)
+
+    uplot.detune_scatter(
+        str(tmp_path / "detune.pdf"),
+        {"a": rng.uniform(0, 5, 20), "b": rng.uniform(0, 3, 20)},
+        rng.uniform(0.01, 0.03, 20), rng.uniform(1, 25, 20),
+        rng.uniform(0, 1, 20), rng.uniform(0, 0.02, 20),
+    )
+    assert os.path.exists(tmp_path / "detune.pdf")

@@ -47,6 +47,14 @@ def plot_results(save_dir, split, outputs, sr, n_items=4, step=0):
         plt.close(fig)
         wavio.write(os.path.join(d, f"item{i}_est.wav"), preds[i], sr)
         wavio.write(os.path.join(d, f"item{i}_tgt.wav"), target[i], sr)
+    if preds.shape[-1] >= 2048:
+        # estimate/target logmag+logmel spec tables (reference
+        # callbacks.py:88 -> plot.est_tar_specs wandb table, as files)
+        from ..utils.plot import est_tar_specs
+
+        est_tar_specs(d, preds[:n], target[:n],
+                      np.asarray(outputs["analytic"])[:n]
+                      if "analytic" in outputs else None, sr)
     return d
 
 
@@ -69,8 +77,9 @@ def save_test_results(save_dir, rows, header, name="output", ids=None):
 
 def plot_state_video(save_dir, estimate_states, analytic_states, fdtd_states,
                      sr, name="state"):
-    """Estimate vs analytic vs FDTD string-state animation + npz (reference
-    callbacks.py:137-179 ``PlotStateVideo``).
+    """Estimate vs analytic vs FDTD string-state summary (reference
+    callbacks.py:137-179 ``PlotStateVideo.summary``): npz bundle, state-spec
+    comparison panel, per-stream wav + rainbowgram, and the animation.
 
     Each argument: (Nt, Nx) or None.
     """
@@ -78,6 +87,8 @@ def plot_state_video(save_dir, estimate_states, analytic_states, fdtd_states,
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+
+    from ..utils import plot as uplot
 
     os.makedirs(save_dir, exist_ok=True)
     arrays = {
@@ -87,6 +98,18 @@ def plot_state_video(save_dir, estimate_states, analytic_states, fdtd_states,
     }
     arrays = {k: np.asarray(v) for k, v in arrays.items() if v is not None}
     np.savez_compressed(os.path.join(save_dir, f"{name}.npz"), **arrays)
+    if len(arrays) == 3:
+        uplot.state_specs(
+            os.path.join(save_dir, f"{name}.pdf"),
+            arrays["analytic"], arrays["estimate"], arrays["fdtd"],
+        )
+    for label, v in arrays.items():
+        wav = v.mean(-1)
+        wavio.write(os.path.join(save_dir, f"{name}-{label}.wav"), wav, sr)
+        if len(wav) >= 2048:  # rainbowgram needs at least a few STFT frames
+            uplot.rainbowgram(
+                os.path.join(save_dir, f"{name}-{label}.pdf"), wav, sr
+            )
 
     some = next(iter(arrays.values()))
     stride = max(1, len(some) // 120)

@@ -39,6 +39,7 @@ def evaluate_dir(sim_dir, sr=48000, plot=True):
     voiced = f0_est > 0
     est = float(np.median(f0_est[voiced])) if voiced.any() else 0.0
 
+    u0 = np.atleast_2d(params["u0"])[0]
     scores = {
         "f0_estimate": est,
         "f0_input_mean": float(f0_in.mean()),
@@ -50,6 +51,12 @@ def evaluate_dir(sim_dir, sr=48000, plot=True):
         "rde_target_pct": float(
             relative_detune_error(est, float(f0_tgt.mean()))
         ),
+        # sampled-parameter columns for the summary scatter panels
+        # (reference plot.py:682-820 scatter summaries)
+        "kappa": kappa,
+        "alpha": float(np.atleast_1d(params["alpha"])[0]),
+        "p_a": float(np.atleast_1d(params["p_a"])[0]),
+        "p_x": float(np.argmax(u0) / max(len(u0) - 1, 1)),
     }
     with open(os.path.join(sim_dir, "string_params.txt"), "w") as f:
         for k, v in scores.items():

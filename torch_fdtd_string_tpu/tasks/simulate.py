@@ -726,6 +726,27 @@ def run(args, save_dir, model_name, n_samples):
                 from ..utils import plot as uplot
 
                 uplot.simulation_plots(d, uout[b], zout[b], string.target_f0[b], sr)
+                su_b = (state_u[b, :, : int(Nx_t[b].max()) + 1]
+                        if state_u is not None else None)
+                sz_b = (state_z[b, :, : int(Nx_l[b].max()) + 1]
+                        if state_z is not None else None)
+                uplot.simulation_data(
+                    d, uout[b], zout[b], v_r[b], F_H[b], u_H[b], su_b, sz_b,
+                    string_params=[
+                        string.kappa[b], string.alpha[b], string.u0[b][None, :],
+                        string.v0[b][None, :], string.p_a[b], string.f0[b],
+                        string.pos[b], string.T60[b], string.target_f0[b],
+                    ],
+                    bow_params=[
+                        bow.x_b[b], bow.v_b[b], bow.F_b[b],
+                        bow.phi_0[b], bow.phi_1[b], bow.wid[b],
+                    ],
+                    hammer_params=[
+                        hammer.x_H[b], hammer.v_H[b], hammer.u_H[b],
+                        hammer.w_H[b], hammer.M_r[b], hammer.alpha[b],
+                    ],
+                    sr=sr,
+                )
             if task.plot_state:
                 from ..utils import plot as uplot
 

@@ -71,6 +71,21 @@ def summarize(load_dir):
             fig.tight_layout()
             fig.savefig(os.path.join(load_dir, "summary_f0.pdf"), dpi=120)
             plt.close(fig)
+        if "kappa" in header:
+            # detune-vs-parameter scatter summaries (reference
+            # plot.py:682-820 scatter_kappa/scatter_pluck role)
+            from ..utils.plot import detune_scatter
+
+            col = lambda k: arr[:, header.index(k)] if k in header else None
+            detunes = {
+                r"$|f_0^{\tt est} - f_0|$": col("abs_diff_input"),
+                r"$|f_0^{\tt est} - \hat{f_0}|$": col("abs_diff_target"),
+            }
+            detunes = {k: v for k, v in detunes.items() if v is not None}
+            detune_scatter(
+                os.path.join(load_dir, "summary_detune.pdf"),
+                detunes, col("kappa"), col("alpha"), col("p_x"), col("p_a"),
+            )
     except Exception as err:  # plotting is best-effort
         print(f"[summarize] plot skipped: {err}")
     return stats

@@ -93,28 +93,233 @@ def simulation_plots(directory, uout, zout, target_f0, sr):
     phase_diagram(f"{directory}/phs-z.pdf", zout, sr, label=r"$\zeta$")
 
 
-def simulation_data(directory, uout, zout, state_u, f0, sr, **extra):
-    """Parameter/diagnostic panel (reference plot.py:84-217's role)."""
+def _hard_bow(v, a, eps):
+    """Friction curve (bow.cpp:10-12) for the diagnostic panels."""
+    return np.sign(v) * (eps + (1.0 - eps) * np.exp(-a * np.abs(v)))
+
+
+def simulation_data(directory, uout, zout, v_r_out, F_H_out, u_H_out,
+                    state_u, state_z, string_params, bow_params,
+                    hammer_params, sr=48000, **extra):
+    """Per-item parameter/diagnostic panels (reference plot.py:84-217):
+    ``string.png`` (f0 trajectory, final transverse/longitudinal states with
+    pickup & bow markers, output waveforms), ``bow.png`` (bowing controls,
+    friction curve, relative-velocity attack/release), ``bow-velforce.pdf``
+    (measured friction coefficient over the theoretical curve) and
+    ``hammer.png`` (contact displacement/force over the first 8 ms)."""
     os.makedirs(directory, exist_ok=True)
-    fig, axes = plt.subplots(2, 2, figsize=(10, 6))
-    t = np.arange(len(uout)) / sr
-    axes[0, 0].plot(t, uout, lw=0.3)
-    axes[0, 0].set_title("pickup u")
-    axes[0, 1].plot(t, zout, lw=0.3)
-    axes[0, 1].set_title("pickup z")
-    if state_u is not None:
-        axes[1, 0].imshow(
-            state_u[:: max(1, len(state_u) // 500)].T,
-            aspect="auto",
-            origin="lower",
-            cmap="RdBu",
-        )
-        axes[1, 0].set_title("state u(x, t)")
-    f0 = np.atleast_1d(f0)
-    axes[1, 1].plot(np.linspace(0, t[-1] if len(t) else 1, len(f0)), f0)
-    axes[1, 1].set_title("f0 (Hz)")
+    kappa, alpha, u0, v0, p_a, f0, pos, T60, target_f0 = string_params
+    x_b, v_b, F_b, phi_0, phi_1, wid_b = bow_params
+    x_H, v_H, u_H, w_H, M_r, alpha_H = hammer_params
+    uout = np.asarray(uout)
+    zout = np.asarray(zout)
+    N = min(1000, len(uout))
+    max_disp = np.abs(uout[:N]).max() + 1e-12
+
+    # ---- string.png ------------------------------------------------------
+    fig, ax = plt.subplots(figsize=(7, 7), nrows=5, ncols=1)
+    ax[0].plot(np.atleast_1d(f0), "k-")
+    ax[0].set_ylabel("f0")
+    ax[0].set_ylim([0, max(500.0, 1.2 * float(np.max(f0)))])
+    for i, (st, name) in enumerate(
+        ((state_u, "transverse state"), (state_z, "longitudinal state")), 1
+    ):
+        if st is not None and len(st):
+            ax[i].plot(np.linspace(0, 1, st.shape[-1]), st[-1], "k-")
+        ax[i].axvline(x=float(np.atleast_1d(pos)[0]), c="r", lw=0.5)
+        ax[i].axvline(x=float(np.atleast_1d(x_b)[-1]), c="b", lw=0.5)
+        ax[i].set_ylabel(name)
+    ax[3].plot(uout[:N], "k-")
+    ax[3].set_ylabel("output u")
+    ax[3].set_ylim([-max_disp, max_disp])
+    ax[4].plot(zout[:N], "k-")
+    ax[4].set_ylabel("output z")
+    for a_ in ax:
+        a_.yaxis.tick_right()
+        a_.axhline(y=0, c="k", lw=0.5)
     fig.tight_layout()
-    fig.savefig(f"{directory}/simulation_data.pdf", dpi=120)
+    fig.savefig(f"{directory}/string.png", dpi=110)
+    plt.close(fig)
+
+    # ---- bow.png ---------------------------------------------------------
+    phi0f = float(np.atleast_1d(phi_0)[0])
+    phi1f = float(np.atleast_1d(phi_1)[0])
+    rels = np.linspace(-1, 1, 100)
+    v_r_out = np.asarray(v_r_out)
+    fig, ax = plt.subplots(figsize=(7, 7), nrows=3, ncols=2)
+    panels = [
+        (ax[0, 0], np.atleast_1d(x_b), "bowing position", (0, 1)),
+        (ax[1, 0], np.atleast_1d(v_b), "bowing velocity", (0, 0.5)),
+        (ax[2, 0], np.atleast_1d(F_b), "bowing force", (0, 100)),
+        (ax[0, 1], _hard_bow(rels, phi0f, phi1f), "bow friction fn", (-1.5, 1.5)),
+        (ax[1, 1], v_r_out[:N], "rel vel (attack)", (-2, 2)),
+        (ax[2, 1], v_r_out[-N:], "rel vel (release)", (-2, 2)),
+    ]
+    for a_, y, label, ylim in panels:
+        a_.plot(rels if label == "bow friction fn" else np.arange(len(y)), y, "k-")
+        a_.axhline(y=0, c="k", lw=0.5)
+        a_.set_ylabel(label)
+        a_.yaxis.tick_right()
+        a_.set_ylim(list(ylim))
+    fig.tight_layout()
+    fig.savefig(f"{directory}/bow.png", dpi=110)
+    plt.close(fig)
+
+    # ---- bow-velforce.pdf: measured friction coefficient -----------------
+    Nt = len(v_r_out)
+    if Nt > 1:
+        Nx = state_u.shape[-1] if state_u is not None else 1
+        a_f = (v_r_out[1:] - v_r_out[:-1]) * sr
+        Fb1 = np.atleast_1d(F_b)
+        # align the (Nt-2)-long probe trace with the Nt-long control signal
+        F_bv = (np.full(Nt - 1, Fb1[0]) if Fb1.size == 1
+                else Fb1[-(Nt - 1):] if Fb1.size >= Nt - 1
+                else np.pad(Fb1, (0, Nt - 1 - Fb1.size), mode="edge"))
+        mu = a_f / Nx / np.where(F_bv != 0, F_bv, 1.0)
+        vr = v_r_out[:-1]
+        rels2 = np.linspace(vr.min() - 0.1, vr.max() + 0.1, 100)
+        fig, a_ = plt.subplots(figsize=(4, 4))
+        a_.fill_between(rels2, _hard_bow(rels2, phi0f, phi1f), alpha=0.2,
+                        facecolor="r")
+        a_.plot(vr, mu, "k-", lw=0.5)
+        a_.axhline(y=0, c="k", lw=0.5)
+        a_.set_xlabel("Relative velocity")
+        a_.set_ylabel("Friction coefficient")
+        a_.set_ylim([-1.5, 1.5])
+        fig.tight_layout()
+        fig.savefig(f"{directory}/bow-velforce.pdf", dpi=110)
+        plt.close(fig)
+
+    # ---- hammer.png: first 8 ms of contact -------------------------------
+    n8 = int(sr * 8e-3)
+    tms = np.linspace(0, 8, n8)
+    fig, ax = plt.subplots(figsize=(7, 5), nrows=2, ncols=1)
+    ax[0].plot(tms, np.asarray(u_H_out)[:n8], "k-")
+    ax[0].set_ylabel("hammer displacement")
+    ax[1].plot(tms, np.asarray(F_H_out)[:n8], "k-")
+    ax[1].set_ylabel("hammer force")
+    for a_ in ax:
+        a_.axhline(y=0, c="k", lw=0.5)
+        a_.yaxis.tick_right()
+    fig.tight_layout()
+    fig.savefig(f"{directory}/hammer.png", dpi=110)
+    plt.close(fig)
+
+
+def state_specs(save_path, analytic, estimate, simulate):
+    """FDTD vs modal vs estimate state-field panel (reference
+    plot.py:219-268): 3x2 grid of downsampled u(x, t) images, difference
+    maps, and a center-point time-trace overlay."""
+    analytic = np.asarray(analytic)
+    estimate = np.asarray(estimate)
+    simulate = np.asarray(simulate)
+    tf = max(1, simulate.shape[0] // 100)
+    nt = max(simulate.shape[0] // 100, 16)
+    nx = simulate.shape[1] // 2
+    diff_ana = analytic - simulate
+    diff_est = estimate - simulate
+    maxval = np.abs(simulate).max() + 1e-12
+    maxerr = max(np.abs(diff_ana).max(), np.abs(diff_est).max()) + 1e-12
+
+    fig, ax = plt.subplots(ncols=2, nrows=3, figsize=(7, 7))
+    kw = dict(aspect="auto", origin="lower", cmap="coolwarm")
+    for i, arr in enumerate((simulate, analytic, estimate)):
+        ax[i, 0].imshow(arr[::tf].T, vmin=-maxval, vmax=maxval, **kw)
+    ax[1, 1].imshow(diff_ana[::tf].T, vmin=-maxerr, vmax=maxerr, **kw)
+    ax[2, 1].imshow(diff_est[::tf].T, vmin=-maxerr, vmax=maxerr, **kw)
+    ax[0, 1].plot(simulate[:nt, nx], c="goldenrod", label="FDTD")
+    ax[0, 1].plot(analytic[:nt, nx], c="r", label="Modal")
+    ax[0, 1].plot(estimate[:nt, nx], c="g", label="Ours")
+    ax[0, 1].legend(fontsize=7, loc="upper right")
+    for i, title in enumerate(["FDTD", "Modal", "Ours"]):
+        ax[i, 0].set_ylabel(title)
+    for a_ in ax.ravel():
+        a_.set_xticks([])
+        a_.set_yticks([])
+    fig.tight_layout()
+    fig.subplots_adjust(wspace=0, hspace=0)
+    fig.savefig(save_path, bbox_inches="tight")
+    plt.close(fig)
+
+
+def est_tar_specs(save_dir, est_wavs, tar_wavs, inp_wavs, sr, prefix="item"):
+    """Estimate/target/analytic log-mag + log-mel spectrogram tables
+    (reference plot.py:926-1034's role; files instead of wandb tables)."""
+    from .audio import mel_filterbank
+
+    os.makedirs(save_dir, exist_ok=True)
+    est_wavs = np.asarray(est_wavs)
+    tar_wavs = np.asarray(tar_wavs)
+    inp_wavs = np.asarray(inp_wavs) if inp_wavs is not None else None
+    n_fft, hop = 1024, 256
+    mel = mel_filterbank(sr, n_fft, 128)
+
+    def specs(w):
+        m = np.asarray(stft_mag(w[None], n_fft, hop))[0].T  # (bins, frames)
+        logmag = 20 * np.log10(m + 1e-5)
+        logmel = 20 * np.log10(mel @ m + 1e-5)
+        return logmag, logmel
+
+    paths = []
+    for b in range(len(est_wavs)):
+        rows = [("Estimate", est_wavs[b]), ("Original", tar_wavs[b])]
+        if inp_wavs is not None:
+            rows.insert(0, ("Analytic", inp_wavs[b]))
+        fig, ax = plt.subplots(len(rows) + 1, 2, figsize=(7, 2 * len(rows) + 2))
+        sp = {name: specs(w) for name, w in rows}
+        for i, (name, _) in enumerate(rows):
+            for j in range(2):
+                ax[i, j].imshow(sp[name][j], aspect="auto", origin="lower",
+                                cmap="magma", vmin=-60, vmax=30)
+            ax[i, 0].set_ylabel(name)
+        d_mag = sp["Original"][0] - sp["Estimate"][0]
+        d_mel = sp["Original"][1] - sp["Estimate"][1]
+        for j, d in enumerate((d_mag, d_mel)):
+            ax[-1, j].imshow(d, aspect="auto", origin="lower", cmap="bwr",
+                             vmin=-20, vmax=20)
+        ax[-1, 0].set_ylabel("Difference")
+        for a_ in ax.ravel():
+            a_.set_xticks([])
+            a_.set_yticks([])
+        fig.tight_layout()
+        fig.subplots_adjust(wspace=0, hspace=0)
+        path = os.path.join(save_dir, f"{prefix}{b}_specs.png")
+        fig.savefig(path, bbox_inches="tight", dpi=110)
+        plt.close(fig)
+        paths.append(path)
+    return paths
+
+
+def detune_scatter(save_path, detunes, kappa, alpha=None, p_x=None, p_a=None):
+    """f0-detune scatter summaries over the sampled parameter space
+    (reference plot.py:682-820 ``scatter_kappa``/``scatter_pluck`` role).
+
+    ``detunes``: dict label -> (N,) |f0 error| in Hz; panels per available
+    parameter axis."""
+    axes_spec = [("$\\kappa$", kappa)]
+    if alpha is not None:
+        axes_spec.append(("$\\alpha$", alpha))
+    if p_x is not None:
+        axes_spec.append(("$p_x$", p_x))
+    if p_a is not None:
+        axes_spec.append(("$p_a$", p_a))
+    fig, ax = plt.subplots(1, len(axes_spec), figsize=(2.2 * len(axes_spec), 2.4))
+    ax = np.atleast_1d(ax)
+    colors = ["orchid", "cadetblue", "goldenrod"]
+    ymax = max(np.max(v) for v in detunes.values()) + 3.0
+    for j, (label, x) in enumerate(axes_spec):
+        for ci, (name, y) in enumerate(detunes.items()):
+            ax[j].scatter(x, y, s=2.0, alpha=0.7, c=colors[ci % 3],
+                          label=name if j == 0 else None)
+        ax[j].set_xlabel(label)
+        ax[j].set_ylim([0, ymax])
+        ax[j].xaxis.tick_top()
+        if j:
+            ax[j].set_yticks([])
+    ax[0].set_ylabel("Detune (Hz)")
+    fig.legend(fontsize=6, loc="lower center", ncol=len(detunes))
+    fig.tight_layout()
+    fig.savefig(save_path, bbox_inches="tight", transparent=True, dpi=120)
     plt.close(fig)
 
 
