@@ -165,3 +165,74 @@ def test_stack_batch_and_set_length():
     assert out["u_in"].shape == (3, 50, 16)
     assert out["f0"].shape == (3, 50)
     assert out["kappa"].shape == (3,)
+
+
+def test_yin_robustness_hard_cases():
+    """VERDICT round-1 item 9: octave-safe f0 tracking on a bowed sim, a
+    strongly inharmonic (kappa=0.08) pluck, and a 0 dB-SNR noisy tone.
+    (The reference uses CREPE-viterbi, frequency.py:4-9; YIN replaces it.)"""
+    import numpy as np
+
+    from torch_fdtd_string_tpu.ops import fdm
+    from torch_fdtd_string_tpu.tasks import simulate as sim_task
+    from torch_fdtd_string_tpu.utils.frequency import track_f0
+
+    sr = 48000
+    rng = np.random.default_rng(0)
+
+    def tracked(wav):
+        f0, _ = track_f0(wav / (np.abs(wav).max() + 1e-12), sr)
+        v = f0[f0 > 0]
+        assert len(v) > 5
+        return np.median(v), v
+
+    def octave_frac(v, truth):
+        r = v / truth
+        return np.mean((np.abs(r - 2.0) < 0.2) | (np.abs(r - 0.5) < 0.1))
+
+    # --- noisy inharmonic tone at 0 dB SNR: estimate must not shift/jump
+    f0v, B = 196.0, 0.002
+    t = np.arange(sr) / sr
+    clean = sum(
+        (0.5 / k) * np.sin(2 * np.pi * k * f0v * np.sqrt(1 + B * k**2) * t)
+        for k in range(1, 13)
+    )
+    med_clean, _ = tracked(clean)
+    noisy = clean + rng.normal(0, clean.std(), len(clean))
+    med_noisy, v_noisy = tracked(noisy)
+    assert octave_frac(v_noisy, med_clean) < 0.01
+    assert abs(med_noisy - med_clean) / med_clean < 0.01
+
+    # --- strongly inharmonic pluck: YIN lands on the Fletcher mode-1
+    theta = fdm.get_theta(0.08, 110.0, sr)
+    res, _, _ = sim_task.simulate(
+        "pluck", sr, theta, 0.5, 1, 110.0, 1.0, 1.0, cpu=True,
+        string_kwargs=dict(
+            f0_min=110.0, f0_max=110.0, f0_mod_max=0.0, f0_diff_max=0.0,
+            kappa_min=0.08, kappa_max=0.08, alpha_min=1.0, alpha_max=1.0,
+            p_a_min=0.01, p_a_max=0.01, p_x_min=0.3, p_x_max=0.3,
+            precorrect=False,
+        ),
+        rng=np.random.default_rng(1), precision="single", collect_state=False,
+    )
+    mode1 = float(np.asarray(fdm.stiff_string_modes(110.0, 0.08, 1)[0][0]))
+    med, v = tracked(res[0][0])
+    assert abs(med - mode1) / mode1 < 0.01, (med, mode1)
+    assert octave_frac(v, mode1) < 0.01
+
+    # --- bowed string: mode-locks to (near) the input fundamental; the
+    # track must sit within 1.5% of it with zero octave jumps
+    res, _, _ = sim_task.simulate(
+        "bow", sr, theta, 0.5, 1, 110.0, 1.0, 1.0, cpu=True,
+        string_kwargs=dict(
+            f0_min=196.0, f0_max=196.0, f0_mod_max=0.0, f0_diff_max=0.0,
+            kappa_min=0.02, kappa_max=0.02, alpha_min=1.0, alpha_max=1.0,
+            p_a_min=0.0, p_a_max=0.0, p_x_min=0.3, p_x_max=0.3,
+        ),
+        rng=np.random.default_rng(2), precision="single", collect_state=False,
+    )
+    uout = res[0][0]
+    assert np.abs(uout).max() > 1e-9  # the bow actually excited the string
+    med, v = tracked(uout)
+    assert abs(med - 196.0) / 196.0 < 0.015, med
+    assert octave_frac(v, 196.0) < 0.01
