@@ -214,3 +214,35 @@ def test_pallas_mms_tracks_closed_form_and_converges():
     err_fine = _kernel_mms(220.0, sr=96000, T=2048)
     assert err_coarse < 0.02, err_coarse
     assert err_fine < err_coarse / 1.7, (err_fine, err_coarse)
+
+
+def test_pallas_fixed_sweeps_match_adaptive():
+    """Static unrolled Gauss-Seidel (coupling_fixed) reaches the same fixed
+    point as the adaptive exit on a production-like pluck workload."""
+    import bench
+    from torch_fdtd_string_tpu.ops.pallas_step import string_chunked
+
+    args, B, _ = bench.build_workload(B=4, length=0.02, seed=11)
+    carry, steps, sp, bp, hp, bm, hm, consts = args
+    T = 256
+
+    def run(**kw):
+        return string_chunked(
+            sp.f0[:, 2 : 2 + T], sp.kappa, sp.alpha, sp.pos, sp.T60,
+            carry.u1, carry.u2, carry.z1, carry.z2,
+            k=consts.k, theta_t=consts.theta_t, lambda_c=consts.lambda_c,
+            M_t=consts.M_t, M_l=consts.M_l, chunk=T // 2,
+            coupling_iters=24, surface_integral=True, interpret=True, **kw,
+        )
+
+    u_ad, _, aux_ad = run()
+    u_fx, _, aux_fx = run(coupling_fixed=2)
+    fin_ad, fin_fx = aux_ad["carry"][0], aux_fx["carry"][0]
+    scale = np.abs(np.asarray(fin_ad)).max() + 1e-12
+    dev_state = np.abs(np.asarray(fin_fx) - np.asarray(fin_ad)).max() / scale
+    # 2 unrolled sweeps vs machine-precision adaptive: the workload's
+    # coupling is weak enough that the iterates agree to f32 noise
+    assert dev_state < 2e-4, dev_state
+    out_scale = np.abs(np.asarray(u_ad)).max() + 1e-12
+    dev_out = np.abs(np.asarray(u_fx) - np.asarray(u_ad)).max() / out_scale
+    assert dev_out < 2e-3, dev_out

@@ -435,7 +435,7 @@ def _kernel(consts: KernelConsts, *refs):
         inner_eps = 100.0 * float(jnp.finfo(dt).eps)
         zcol = jnp.zeros((B, 1), dt)
 
-        def sweep_body(carry_s):
+        def sweep_body(carry_s, iz_pre=None):
             u_c, z_c, _, F_H, u_H, v_rel, it_c = carry_s
             rhs_u = rhs_u0
             if consts.has_bow:
@@ -483,7 +483,10 @@ def _kernel(consts: KernelConsts, *refs):
                 rhs_u = rhs_u + hmask * jnp.nan_to_num(G_H)
             rhs_u = rhs_u * live_t
 
-            (iz,) = interp_pair([z_c], [])
+            if iz_pre is None:
+                (iz,) = interp_pair([z_c], [])
+            else:  # first unrolled sweep: z_c == z1, already gathered
+                iz = iz_pre
             u_c2 = pcr(sub_t, diag_t, sup_t, -rhs_u - K_tl_from(iz))
             (iu,) = interp_pair([], [lam * dxb(u_c2, h_t)])
             z_c2 = pcr(sub_l, diag_l, sup_l, -rhs_z - K_lt_from(iu))
@@ -515,8 +518,8 @@ def _kernel(consts: KernelConsts, *refs):
             # round-trips — the fastest schedule when the sweep count is
             # known for the workload's coupling strength.
             carry_s = init_s
-            for _ in range(consts.coupling_fixed):
-                carry_s = sweep_body(carry_s)
+            for j in range(consts.coupling_fixed):
+                carry_s = sweep_body(carry_s, iz_pre=iz1 if j == 0 else None)
             u_n, z_n, _, F_H, u_H, v_rel, _ = carry_s
         else:
             u_n, z_n, _, F_H, u_H, v_rel, _ = jax.lax.while_loop(
