@@ -61,4 +61,10 @@ def modal_synth_nyquist(freq_tv, amps, damp, sr):
     hz = freq_tv / (2 * jnp.pi) * sr
     aa = (hz < sr / 2).astype(amps.dtype) + 1e-4
     phase = jnp.cumsum(freq_tv, axis=-2)
-    return (jnp.cos(phase) * (amps * aa) * damp).sum(-1, keepdims=True)
+    # Mode reduction as a GEMM: the naive broadcast-multiply-reduce
+    # materialises an (Nx, Nt, n) intermediate (tens of GFLOP of memory
+    # traffic, ~5 GB at production shapes); contracting over modes with a
+    # matmul keeps it at Nt*n temporaries and runs on the MXU / BLAS.
+    tbank = jnp.cos(phase[0]) * aa[0] * damp[0]  # (Nt, n)
+    out = tbank @ amps[:, 0, :].T  # (Nt, Nx)
+    return out.T[:, :, None]  # (Nx, Nt, 1)

@@ -91,13 +91,18 @@ def save_upsampled_data(load_dir, save_dir, sr, Nx, strict=True):
         constants = yaml.safe_load(f)
     theta_t = constants["theta_t"]
     lambda_c = constants["lambda_c"]
-    import jax.numpy as jnp
-
-    nx_t = np.asarray(
-        fdm.get_derived_vars(
-            jnp.asarray(f0), jnp.asarray(kr), k, theta_t, lambda_c, jnp.asarray(al)
-        )[2]
+    # Vectorized host-side twin of fdm.get_derived_vars (string.cpp:16-41):
+    # this runs per (Nt,)-sample on the 1-core host where jnp dispatch costs
+    # seconds; plain numpy is milliseconds.
+    gamma_np = 2.0 * np.asarray(f0, np.float64)
+    K_np = kr * gamma_np
+    two_t = 2.0 * theta_t - 1.0
+    h_1 = lambda_c * np.sqrt(
+        (gamma_np**2 * k**2
+         + np.sqrt(gamma_np**4 * k**4 + 16.0 * K_np**2 * k**2 * two_t))
+        / (2.0 * two_t)
     )
+    nx_t = np.floor(1.0 / h_1)
 
     dtype = np.float64 if ut.dtype == np.float64 else np.float32
     Nt, Nu = ut.shape
@@ -152,7 +157,9 @@ def save_upsampled_data(load_dir, save_dir, sr, Nx, strict=True):
     sig0_tv, _ = t60_to_sigma_tv(ts, f0, 2 * f0 * kr)
     damping = np.exp(-ti[:, 0] * sig0_tv)  # (Nt,)
 
-    # --- modal synthesis (fused nyquist-masked jnp cosine bank) ----------
+    # --- modal synthesis (GEMM-contracted nyquist-masked cosine bank) ----
+    import jax.numpy as jnp
+
     from ..ops.modal import modal_synth_nyquist
 
     ua = np.asarray(
