@@ -32,7 +32,7 @@ KEYS = [
 
 class GenericDataset:
     def __init__(self, data_dir, load_name, split="train", trim=None, Nx=None,
-                 n_modes_pad=100, seed=0):
+                 n_modes_pad=100, seed=0, x_stride=1):
         self.rng = np.random.default_rng(seed)
         self.trim = trim
         self.n_modes_pad = n_modes_pad
@@ -47,8 +47,13 @@ class GenericDataset:
             first_dir = os.path.dirname(paths[0])
             Nx = len(glob.glob(os.path.join(first_dir, "ut-*.wav")))
         self.Nx = Nx
+        # spatially-uniform pickup subsample: with stride s the dataset sees
+        # every s-th readout position (items stay (string, x) pairs).  Used
+        # to keep the prepared set inside the on-device cache budget on
+        # hosts where streaming is tunnel-bound.
+        self.x_ids = list(range(0, Nx, max(int(x_stride), 1)))
         self.tgt_list = paths
-        self.n_data = len(paths) * Nx
+        self.n_data = len(paths) * len(self.x_ids)
 
     def __len__(self):
         return self.n_data
@@ -91,8 +96,9 @@ class GenericDataset:
         return item
 
     def __getitem__(self, index):
-        anchor = self.tgt_list[index // self.Nx]
-        x_idx = index % self.Nx
+        nx = len(self.x_ids)
+        anchor = self.tgt_list[index // nx]
+        x_idx = self.x_ids[index % nx]
         return self.load_data(anchor.replace("ut-0.wav", f"ut-{x_idx}.wav"))
 
 

@@ -180,8 +180,9 @@ def train(args, save_dir):
     trim = int(task.train_lens * sr) if task.train_lens else None
 
     data_dir = task.load_dir
-    trainset = Trainset(data_dir, task.load_name, trim=trim)
-    validset = Testset(data_dir, task.load_name, split="valid")
+    x_stride = int(task.get("x_stride", 1) or 1)
+    trainset = Trainset(data_dir, task.load_name, trim=trim, x_stride=x_stride)
+    validset = Testset(data_dir, task.load_name, split="valid", x_stride=x_stride)
     train_loader = DataLoader(
         trainset, task.batch_size, shuffle=True, drop_last=True,
         num_workers=args.proc.num_workers, seed=args.proc.seed,
@@ -355,7 +356,8 @@ def evaluate(args, save_dir):
     block = args.model.block_size
     sr = task.sr
 
-    testset = Testset(task.load_dir, task.load_name, split="test")
+    testset = Testset(task.load_dir, task.load_name, split="test",
+                      x_stride=int(task.get("x_stride", 1) or 1))
     test_loader = DataLoader(testset, task.test_batch_size, shuffle=False)
 
     registry = build_loss_registry(sr, sr)
