@@ -56,3 +56,25 @@ def test_t60_to_sigma_lossless_and_lossy():
     np.testing.assert_allclose(sig0[0], 6 * np.log(10) / 20.0, rtol=1e-9)
     np.testing.assert_allclose(sig1[0], 0.0, atol=1e-12)
     assert sig0[1] == 0.0 and sig1[1] == 0.0
+
+
+def test_vibrato_respects_f0_inf():
+    """Vibrato troughs on the lowest strings are clamped at f0_inf so the
+    static grid bound always holds (the reference crashes here,
+    simulator.py:230-235 vs :277)."""
+    import numpy as np
+
+    from torch_fdtd_string_tpu.core import params as prm
+
+    from torch_fdtd_string_tpu.ops import fdm
+
+    theta = fdm.get_theta(0.03, 98.0, 48000)
+    rng = np.random.default_rng(1234)
+    for _ in range(8):
+        st = prm.sample_string(
+            rng, k=1.0 / 48000, theta_t=theta, lambda_c=1.0, sr=48000,
+            length=0.05, f0_inf=98.0, alpha_inf=1.0, batch_size=16,
+            f0_min=98.0, f0_max=110.0, f0_mod_max=0.08, f0_diff_max=30.0,
+            sampling_f0="random",
+        )
+        assert np.isfinite(st.f0).all()

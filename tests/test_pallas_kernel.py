@@ -246,3 +246,40 @@ def test_pallas_fixed_sweeps_match_adaptive():
     out_scale = np.abs(np.asarray(u_ad)).max() + 1e-12
     dev_out = np.abs(np.asarray(u_fx) - np.asarray(u_ad)).max() / out_scale
     assert dev_out < 2e-3, dev_out
+
+
+def test_diverged_element_does_not_poison_batch():
+    """A batch element that blows up to NaN (unstable random param draw;
+    the product NaN-skips it) must not change healthy elements' results or
+    starve them of coupling sweeps.  The round-1 kernel's batch-global
+    NaN delta exited after one sweep for everyone."""
+    import bench
+    from torch_fdtd_string_tpu.ops.pallas_step import string_chunked
+
+    args, B, _ = bench.build_workload(B=16, length=0.05, seed=7)
+    carry, steps, sp, bp, hp, bm, hm, consts = args
+    T = 1024
+    sel = np.arange(1, 8)  # healthy subset (b=0 diverges around t~3.5k)
+
+    def run(idx, **kw):
+        return string_chunked(
+            sp.f0[idx, 2 : 2 + T], sp.kappa[idx], sp.alpha[idx], sp.pos[idx],
+            sp.T60[idx], carry.u1[idx], carry.u2[idx], carry.z1[idx],
+            carry.z2[idx],
+            k=consts.k, theta_t=consts.theta_t, lambda_c=consts.lambda_c,
+            M_t=consts.M_t, M_l=consts.M_l, chunk=512, coupling_iters=24,
+            surface_integral=consts.surface_integral, interpret=True,
+            batch_block=16, **kw,
+        )
+
+    # (a) with a static sweep count, per-element solve isolation is exact:
+    # batching with the diverged element changes nothing for the others
+    u_full, _, _ = run(np.arange(16), coupling_fixed=2)
+    u_sub, _, _ = run(sel, coupling_fixed=2)
+    np.testing.assert_array_equal(np.asarray(u_full)[sel], np.asarray(u_sub))
+
+    # (b) adaptive mode: healthy elements stay finite alongside the NaN
+    # element (its NaN residual reads as converged, not as "never done" —
+    # the round-1 global-max delta instead cut everyone to one sweep)
+    u_ad, _, _ = run(np.arange(16))
+    assert np.isfinite(np.asarray(u_ad)[sel]).all()

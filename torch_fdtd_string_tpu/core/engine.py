@@ -330,22 +330,30 @@ def string_step(carry: Carry, xs, sp: StringParams, bp: BowParams, hp: HammerPar
             u_i, z_i, _, it_i = istate
             u_n = tridiag_solve(sub_t, diag_t, sup_t, -rhs_u - K_tl(z_i))
             z_n = tridiag_solve(sub_l, diag_l, sup_l, -rhs_z - K_lt(u_n))
-            delta = jnp.max(jnp.abs(u_n - u_i)) + jnp.max(jnp.abs(z_n - z_i))
-            return u_n, z_n, delta, it_i + 1
+            # per-element, NaN-robust: a diverged element reads as done so
+            # it neither starves healthy elements of sweeps (NaN delta made
+            # the old global max exit after one sweep) nor drags them to
+            # the iteration cap
+            delta_b = (
+                jnp.max(jnp.abs(u_n - u_i), axis=-1)
+                + jnp.max(jnp.abs(z_n - z_i), axis=-1)
+            )
+            scale_b = jnp.max(jnp.abs(u_n), axis=-1) + inner_eps
+            done = jnp.logical_not(jnp.any(delta_b > inner_eps * scale_b))
+            return u_n, z_n, done, it_i + 1
 
         def inner_cond(istate):
-            u_i, _, delta, it_i = istate
-            scale = jnp.max(jnp.abs(u_i)) + inner_eps
+            *_, done, it_i = istate
             return jnp.logical_or(
                 it_i == 0,
                 jnp.logical_and(
-                    delta > inner_eps * scale, it_i < consts.coupling_max_iter
+                    jnp.logical_not(done), it_i < consts.coupling_max_iter
                 ),
             )
 
-        big = jnp.array(jnp.inf, dtype)
         u_n, z_n, _, _ = jax.lax.while_loop(
-            inner_cond, inner_body, (u0_i, z0_i, big, jnp.array(0, jnp.int32))
+            inner_cond, inner_body,
+            (u0_i, z0_i, jnp.array(False), jnp.array(0, jnp.int32)),
         )
         u_n = st.dirichlet(st.mask_live(u_n, n_t), N_t)
         z_n = st.dirichlet(st.mask_live(z_n, n_l), N_l)
@@ -406,9 +414,14 @@ def string_step(carry: Carry, xs, sp: StringParams, bp: BowParams, hp: HammerPar
                 u_H = jnp.where(frozen, state[4], u_H)
             res_u = jnp.max(jnp.abs(u - u_new), axis=-1)
             res_z = jnp.max(jnp.abs(z - z_new), axis=-1)
+            # NaN-robust polarity: a diverged element (NaN residual) counts
+            # as converged-and-frozen so it cannot drive the whole batch to
+            # the iteration cap (the product path NaN-skips such samples).
             conv = jnp.logical_or(
                 frozen,
-                jnp.logical_and(res_u <= tol_t, res_z <= tol_l),
+                jnp.logical_not(
+                    jnp.logical_or(res_u > tol_t, res_z > tol_l)
+                ),
             )
             return u_new, z_new, v_rel, F_H, u_H, it + 1, conv
 

@@ -294,6 +294,13 @@ def sample_string(
         vb_m = (rng.standard_normal(Bs) >= tv_th)[:, None]
         vb = vibrato(rng, f0, 1.0 / sr, mf=(3.0, 5.0), ma=f0_mod_max)
         f0 = np.where(vb_m, f0, vb)
+        # Divergence from the reference (simulator.py:230-235): vibrato on a
+        # string near f0_min can dip the curve below f0_inf, which the
+        # reference then *crashes* on at its :277 assert (the static grid
+        # bound would be violated).  Clamp the trough instead — the grid
+        # invariant is what matters; a flattened vibrato low on the lowest
+        # strings is physically benign.
+        f0 = np.maximum(f0, np.asarray(f0_inf, dtype))
     elif sampling_f0 == "equidist":
         f0 = constant(equidistant(f0_min, f0_max, Bs), Nt)
     else:  # fixed (scalar or per-batch list)

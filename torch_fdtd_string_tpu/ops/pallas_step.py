@@ -492,12 +492,19 @@ def _kernel(consts: KernelConsts, *refs):
             z_c2 = pcr(sub_l, diag_l, sup_l, -rhs_z - K_lt_from(iu))
             if consts.coupling_fixed > 0:
                 return u_c2, z_c2, jnp.array(False), F_H, u_H, v_rel, it_c + 1
-            # Convergence decided here so the while cond is scalar-only
-            # (one fused pass over the state instead of a second full-array
-            # reduction inside the cond).
-            delta = jnp.max(jnp.abs(u_c2 - u_c)) + jnp.max(jnp.abs(z_c2 - z_c))
-            scale_c = jnp.max(jnp.abs(u_c2)) + inner_eps
-            done = delta <= inner_eps * scale_c
+            # Per-element convergence, decided in the body so the while cond
+            # is scalar-only.  NaN-robust by construction: a diverged batch
+            # element (randomized workloads can draw unstable alpha/f0
+            # combinations; the product path NaN-skips them) compares False
+            # in ``delta > tol`` and therefore reads as done — it must
+            # neither starve healthy elements of sweeps nor drive the whole
+            # batch to the iteration cap doing arithmetic on NaNs.
+            delta_b = (
+                jnp.max(jnp.abs(u_c2 - u_c), axis=1, keepdims=True)
+                + jnp.max(jnp.abs(z_c2 - z_c), axis=1, keepdims=True)
+            )
+            scale_b = jnp.max(jnp.abs(u_c2), axis=1, keepdims=True) + inner_eps
+            done = jnp.logical_not(jnp.any(delta_b > inner_eps * scale_b))
             return u_c2, z_c2, done, F_H, u_H, v_rel, it_c + 1
 
         def sweep_cond(carry_s):
