@@ -74,6 +74,10 @@ class SimConsts(NamedTuple):
     # (string.cpp:173-175, 238); the Gauss-Seidel splitting here converges at
     # rate ~||T^-1 K||^2 (tiny), so a few sweeps reach machine precision.
     coupling_max_iter: int = 8
+    # convergence floor as a multiple of machine eps; tighter floors buy
+    # f32 stability margin for strongly-coupled (high-alpha) strings at the
+    # cost of extra sweeps (the reference's exact solve has ~1 eps error)
+    coupling_eps_factor: float = 100.0
     # Trace-time specialization: when a run has no bowed/hammered batch
     # elements the corresponding excitation code is eliminated entirely, and
     # with no excitation at all the outer Picard loop is skipped (its RHS
@@ -311,7 +315,7 @@ def string_step(carry: Carry, xs, sp: StringParams, bp: BowParams, hp: HammerPar
         eta_2 = carry.uH2 - jnp.sum(eps_prof * u2, axis=-1)
 
     rhs_z = st.mask_live(rhs_z_const, z_keep)
-    inner_eps = 100.0 * jnp.finfo(dtype).eps
+    inner_eps = consts.coupling_eps_factor * jnp.finfo(dtype).eps
 
     def coupled_solve(rhs_u, u0_i, z0_i):
         """Solve the cross-coupled block system to machine precision by
@@ -327,23 +331,36 @@ def string_step(carry: Carry, xs, sp: StringParams, bp: BowParams, hp: HammerPar
             return u_n, z_n
 
         def inner_body(istate):
-            u_i, z_i, _, it_i = istate
-            u_n = tridiag_solve(sub_t, diag_t, sup_t, -rhs_u - K_tl(z_i))
-            z_n = tridiag_solve(sub_l, diag_l, sup_l, -rhs_z - K_lt(u_n))
-            # per-element, NaN-robust: a diverged element reads as done so
-            # it neither starves healthy elements of sweeps (NaN delta made
-            # the old global max exit after one sweep) nor drags them to
-            # the iteration cap
+            u_i, z_i, _, omega, prev_delta, it_i = istate
+            u_g = tridiag_solve(sub_t, diag_t, sup_t, -rhs_u - K_tl(z_i))
+            z_g = tridiag_solve(sub_l, diag_l, sup_l, -rhs_z - K_lt(u_g))
+            # Adaptive under-relaxation: the block Gauss-Seidel map diverges
+            # when the phi_pow ~ alpha^2 coupling pushes its spectral radius
+            # past 1 (the reference's joint dense inverse has no such limit,
+            # string.cpp:173-175; verified stable at alpha=23 where plain GS
+            # blows up).  Damping u' = u + w(GS(u) - u) has the same fixed
+            # point and converges for w < 2/(1 - lambda_min); w backs off
+            # per element whenever its residual grows.
+            u_n = u_i + omega[:, None] * (u_g - u_i)
+            z_n = z_i + omega[:, None] * (z_g - z_i)
+            # the UNdamped GS displacement measures distance to the fixed
+            # point regardless of omega (the omega-scaled step would read
+            # as converged when omega is merely small)
             delta_b = (
-                jnp.max(jnp.abs(u_n - u_i), axis=-1)
-                + jnp.max(jnp.abs(z_n - z_i), axis=-1)
+                jnp.max(jnp.abs(u_g - u_i), axis=-1)
+                + jnp.max(jnp.abs(z_g - z_i), axis=-1)
             )
+            grew = delta_b > prev_delta
+            omega = jnp.where(grew, jnp.maximum(omega * 0.5, 0.0625), omega)
+            # per-element, NaN-robust: a diverged element reads as done so
+            # it neither starves healthy elements of sweeps nor drags them
+            # to the iteration cap
             scale_b = jnp.max(jnp.abs(u_n), axis=-1) + inner_eps
             done = jnp.logical_not(jnp.any(delta_b > inner_eps * scale_b))
-            return u_n, z_n, done, it_i + 1
+            return u_n, z_n, done, omega, delta_b, it_i + 1
 
         def inner_cond(istate):
-            *_, done, it_i = istate
+            *_, done, _, _, it_i = istate
             return jnp.logical_or(
                 it_i == 0,
                 jnp.logical_and(
@@ -351,9 +368,11 @@ def string_step(carry: Carry, xs, sp: StringParams, bp: BowParams, hp: HammerPar
                 ),
             )
 
-        u_n, z_n, _, _ = jax.lax.while_loop(
+        Bsz = u0_i.shape[0]
+        u_n, z_n, _, _, _, _ = jax.lax.while_loop(
             inner_cond, inner_body,
-            (u0_i, z0_i, jnp.array(False), jnp.array(0, jnp.int32)),
+            (u0_i, z0_i, jnp.array(False), jnp.ones(Bsz, dtype),
+             jnp.full(Bsz, jnp.inf, dtype), jnp.array(0, jnp.int32)),
         )
         u_n = st.dirichlet(st.mask_live(u_n, n_t), N_t)
         z_n = st.dirichlet(st.mask_live(z_n, n_l), N_l)

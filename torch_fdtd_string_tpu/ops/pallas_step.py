@@ -436,7 +436,7 @@ def _kernel(consts: KernelConsts, *refs):
         zcol = jnp.zeros((B, 1), dt)
 
         def sweep_body(carry_s, iz_pre=None):
-            u_c, z_c, _, F_H, u_H, v_rel, it_c = carry_s
+            u_c, z_c, _, F_H, u_H, v_rel, it_c, omega, prev_delta = carry_s
             rhs_u = rhs_u0
             if consts.has_bow:
                 # bow.cpp:17-41; first iterate probes (u1-u2)/k
@@ -487,28 +487,39 @@ def _kernel(consts: KernelConsts, *refs):
                 (iz,) = interp_pair([z_c], [])
             else:  # first unrolled sweep: z_c == z1, already gathered
                 iz = iz_pre
-            u_c2 = pcr(sub_t, diag_t, sup_t, -rhs_u - K_tl_from(iz))
-            (iu,) = interp_pair([], [lam * dxb(u_c2, h_t)])
-            z_c2 = pcr(sub_l, diag_l, sup_l, -rhs_z - K_lt_from(iu))
+            u_g = pcr(sub_t, diag_t, sup_t, -rhs_u - K_tl_from(iz))
+            (iu,) = interp_pair([], [lam * dxb(u_g, h_t)])
+            z_g = pcr(sub_l, diag_l, sup_l, -rhs_z - K_lt_from(iu))
             if consts.coupling_fixed > 0:
-                return u_c2, z_c2, jnp.array(False), F_H, u_H, v_rel, it_c + 1
+                return (u_g, z_g, jnp.array(False), F_H, u_H, v_rel,
+                        it_c + 1, omega, prev_delta)
+            # Adaptive under-relaxation (engine coupled_solve twin): plain
+            # block Gauss-Seidel diverges when the phi_pow ~ alpha^2
+            # coupling pushes its spectral radius past 1 — the reference's
+            # joint dense inverse (string.cpp:173-175) has no such limit.
+            # Damping u' = u + w(GS(u) - u) keeps the same fixed point and
+            # converges for w < 2/(1 - lambda_min); w backs off per element
+            # whenever its (undamped) GS displacement grows.
+            u_c2 = u_c + omega * (u_g - u_c)
+            z_c2 = z_c + omega * (z_g - z_c)
+            delta_b = (
+                jnp.max(jnp.abs(u_g - u_c), axis=1, keepdims=True)
+                + jnp.max(jnp.abs(z_g - z_c), axis=1, keepdims=True)
+            )
+            grew = delta_b > prev_delta
+            omega = jnp.where(grew, jnp.maximum(omega * 0.5, 0.0625), omega)
             # Per-element convergence, decided in the body so the while cond
             # is scalar-only.  NaN-robust by construction: a diverged batch
-            # element (randomized workloads can draw unstable alpha/f0
-            # combinations; the product path NaN-skips them) compares False
-            # in ``delta > tol`` and therefore reads as done — it must
-            # neither starve healthy elements of sweeps nor drive the whole
-            # batch to the iteration cap doing arithmetic on NaNs.
-            delta_b = (
-                jnp.max(jnp.abs(u_c2 - u_c), axis=1, keepdims=True)
-                + jnp.max(jnp.abs(z_c2 - z_c), axis=1, keepdims=True)
-            )
+            # element compares False in ``delta > tol`` and reads as done —
+            # it must neither starve healthy elements of sweeps nor drive
+            # the whole batch to the iteration cap.
             scale_b = jnp.max(jnp.abs(u_c2), axis=1, keepdims=True) + inner_eps
             done = jnp.logical_not(jnp.any(delta_b > inner_eps * scale_b))
-            return u_c2, z_c2, done, F_H, u_H, v_rel, it_c + 1
+            return (u_c2, z_c2, done, F_H, u_H, v_rel, it_c + 1, omega,
+                    delta_b)
 
         def sweep_cond(carry_s):
-            _, _, done, *_, it_c = carry_s
+            done, it_c = carry_s[2], carry_s[6]
             return jnp.logical_or(
                 it_c == 0,
                 jnp.logical_and(
@@ -518,7 +529,8 @@ def _kernel(consts: KernelConsts, *refs):
             )
 
         init_s = (u1, z1, jnp.array(False), zcol, zcol, zcol,
-                  jnp.array(0, jnp.int32))
+                  jnp.array(0, jnp.int32), jnp.ones((B, 1), dt),
+                  jnp.full((B, 1), jnp.inf, dt))
         if consts.coupling_fixed > 0:
             # Static unrolled Gauss-Seidel (engine ``coupling_fixed_iters``
             # twin, engine.py:320-327): no per-sweep reductions or scalar
@@ -527,13 +539,10 @@ def _kernel(consts: KernelConsts, *refs):
             carry_s = init_s
             for j in range(consts.coupling_fixed):
                 carry_s = sweep_body(carry_s, iz_pre=iz1 if j == 0 else None)
-            u_n, z_n, _, F_H, u_H, v_rel, _ = carry_s
+            u_n, z_n, _, F_H, u_H, v_rel = carry_s[:6]
         else:
-            u_n, z_n, _, F_H, u_H, v_rel, _ = jax.lax.while_loop(
-                sweep_cond,
-                sweep_body,
-                init_s,
-            )
+            fin_s = jax.lax.while_loop(sweep_cond, sweep_body, init_s)
+            u_n, z_n, _, F_H, u_H, v_rel = fin_s[:6]
         u_n = u_n * live_t * (it != 0) * (itf != N_t)
         z_n = z_n * live_l * (it != 0) * (itf != N_l)
 
