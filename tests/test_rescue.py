@@ -1,0 +1,46 @@
+"""f64 rescue of diverged fast-path elements (tasks/simulate.py).
+
+The f32 iterative coupled solve can blow up for strongly-coupled draws.
+The rescue re-simulates just those elements with the f64 engine using the
+GMRES joint solve and splices them back.  (For the hardest draws the
+compiled reference's exact f64 dense solve blows up identically —
+verified on captured params — so skipping those is reference parity.)
+"""
+
+import numpy as np
+
+
+def test_rescue_reruns_elements_at_f64():
+    from torch_fdtd_string_tpu.core.engine import SimConsts
+    from torch_fdtd_string_tpu.tasks import simulate as sim_task
+
+    rng = np.random.default_rng(3)
+    sr, length, B = 48000, 0.02, 3
+    from torch_fdtd_string_tpu.ops import fdm
+
+    theta = fdm.get_theta(0.03, 150.0, sr)
+    _res, params, masks = sim_task.simulate(
+        "pluck", sr, theta, length, B, 150.0, 1.0, 1.0, cpu=True,
+        string_kwargs=dict(f0_min=150.0, f0_max=200.0, f0_mod_max=0.0,
+                           f0_diff_max=0.0, kappa_min=0.01, kappa_max=0.03,
+                           alpha_min=1.0, alpha_max=3.0),
+        rng=rng, collect_state=True,
+    )
+    string, bow, hammer, _ = params
+    bm, hm, _pm = masks
+    consts = SimConsts(
+        k=1.0 / sr, theta_t=float(theta), lambda_c=1.0, relative_error=4.0,
+        M_t=string.Nx_t + 1, M_l=string.Nx_l + 1, collect_state=True,
+    )
+    idx = np.array([1])
+    Nt = int(length * sr)
+    r = sim_task.rescue_nan_elements(
+        string, bow, hammer, bm, hm, idx, consts, Nt, Nt, sr
+    )
+    r_uout, r_zout, r_su, r_sz, *_ = r
+    assert r_uout.shape[0] == 1 and r_uout.dtype == np.float64
+    assert np.isfinite(r_uout).all() and np.isfinite(r_su).all()
+    # GMRES f64 result agrees with the healthy f32 fast-path run
+    scale = np.abs(_res[0][1]).max() + 1e-12
+    dev = np.abs(r_uout[0] - _res[0][1]).max() / scale
+    assert dev < 5e-3, dev

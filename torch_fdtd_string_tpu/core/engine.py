@@ -78,6 +78,12 @@ class SimConsts(NamedTuple):
     # f32 stability margin for strongly-coupled (high-alpha) strings at the
     # cost of extra sweeps (the reference's exact solve has ~1 eps error)
     coupling_eps_factor: float = 100.0
+    # "gs": damped Gauss-Seidel sweeps (fast; converges for moderate
+    # coupling).  "gmres": block-GS-preconditioned GMRES on the joint
+    # system — robust for strongly-coupled draws whose GS spectrum mixes
+    # large-negative and near-one eigenvalues (no scalar damping factor
+    # converges there); used by the f64 NaN-rescue path.
+    coupling_solver: str = "gs"
     # Trace-time specialization: when a run has no bowed/hammered batch
     # elements the corresponding excitation code is eliminated entirely, and
     # with no excitation at all the outer Picard loop is skipped (its RHS
@@ -318,9 +324,40 @@ def string_step(carry: Carry, xs, sp: StringParams, bp: BowParams, hp: HammerPar
     inner_eps = consts.coupling_eps_factor * jnp.finfo(dtype).eps
 
     def coupled_solve(rhs_u, u0_i, z0_i):
-        """Solve the cross-coupled block system to machine precision by
-        Gauss-Seidel sweeps (equivalent to the reference's joint dense
-        inverse, string.cpp:173-175, 238)."""
+        """Solve the cross-coupled block system to machine precision
+        (equivalent to the reference's joint dense inverse,
+        string.cpp:173-175, 238) — damped Gauss-Seidel sweeps by default,
+        or preconditioned GMRES for strongly-coupled rescue runs."""
+        if consts.coupling_solver == "gmres":
+            from jax.scipy.sparse.linalg import gmres
+
+            from ..ops.tridiag import tridiag_matvec
+
+            def mv(x):
+                u_x, z_x = x
+                return (
+                    tridiag_matvec(sub_t, diag_t, sup_t, u_x) + K_tl(z_x),
+                    tridiag_matvec(sub_l, diag_l, sup_l, z_x) + K_lt(u_x),
+                )
+
+            def prec(r):
+                r_u, r_z = r
+                u_p = tridiag_solve(sub_t, diag_t, sup_t, r_u)
+                z_p = tridiag_solve(sub_l, diag_l, sup_l, r_z - K_lt(u_p))
+                return u_p, z_p
+
+            x, _ = gmres(
+                mv, (-rhs_u, -rhs_z), x0=(u0_i, z0_i), M=prec,
+                tol=float(consts.coupling_eps_factor)
+                * float(jnp.finfo(dtype).eps),
+                atol=0.0, restart=16,
+                maxiter=max(consts.coupling_max_iter // 16, 2),
+                solve_method="batched",
+            )
+            u_n, z_n = x
+            u_n = st.dirichlet(st.mask_live(u_n, n_t), N_t)
+            z_n = st.dirichlet(st.mask_live(z_n, n_l), N_l)
+            return u_n, z_n
         if consts.coupling_fixed_iters > 0:
             u_n, z_n = u0_i, z0_i
             for _ in range(consts.coupling_fixed_iters):

@@ -118,3 +118,10 @@ def toeplitz_tridiag_coeffs(a, b, n, M, dtype=None):
     diag = jnp.where(live, b[:, None], 1.0)
     sup = jnp.where(idx[None, :] < (n[:, None] - 1), a[:, None], 0.0)
     return sub.astype(dtype), diag.astype(dtype), sup.astype(dtype)
+
+
+def tridiag_matvec(sub, diag, sup, x):
+    """A @ x for the masked tridiagonal layout used by :func:`tridiag_solve`:
+    ``(Ax)_i = sub_i x_{i-1} + diag_i x_i + sup_i x_{i+1}`` with zero-filled
+    out-of-range neighbours (padded rows are identity)."""
+    return sub * _shift(x, 1) + diag * x + sup * _shift(x, -1)

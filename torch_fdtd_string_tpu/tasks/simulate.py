@@ -218,6 +218,67 @@ def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
     return uout, zout, state_u, state_z, v_r, F_H, u_H, sig0, sig1
 
 
+def _slice_batch(obj, idx, B, cast_f64=False):
+    """Per-element slice of a params dataclass (batch-major arrays only)."""
+    import dataclasses
+
+    kw = {}
+    for f in dataclasses.fields(obj):
+        v = getattr(obj, f.name)
+        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == B:
+            v = v[idx]
+            if cast_f64 and np.issubdtype(v.dtype, np.floating):
+                v = v.astype(np.float64)
+        kw[f.name] = v
+    return dataclasses.replace(obj, **kw)
+
+
+def rescue_nan_elements(string, bow, hammer, bow_mask, hammer_mask, idx,
+                        consts: SimConsts, Nt, chunk_size, sr):
+    """Re-simulate diverged batch elements at f64 on the host CPU.
+
+    The f32 fast path's iterative coupled solve can blow up for strongly
+    coupled draws (alpha >~ 17 at high f0), where the reference's exact
+    joint dense solve (string.cpp:173-175) stays stable.  The f64 engine is
+    verified reference-parity in that regime (1.7e-5 over 4000 steps at
+    alpha=23), so diverged elements are re-run at double precision and
+    spliced back instead of being dropped from the dataset.
+    """
+    import jax
+
+    jax.config.update("jax_enable_x64", True)  # safe: all paths use
+    # explicit dtypes (the full test suite runs with x64 enabled)
+    B = len(bow_mask)
+    dump = os.environ.get("FDTD_DUMP_NAN_PARAMS")
+    if dump:  # failure forensics: capture the exact diverged draws
+        import dataclasses
+
+        rec = {"idx": np.asarray(idx)}
+        for tag, o in (("string", string), ("bow", bow), ("hammer", hammer)):
+            for f in dataclasses.fields(o):
+                v = getattr(o, f.name)
+                if isinstance(v, np.ndarray):
+                    rec[f"{tag}_{f.name}"] = v
+        np.savez(dump, **rec)
+    s2 = _slice_batch(string, idx, B, cast_f64=True)
+    b2 = _slice_batch(bow, idx, B, cast_f64=True)
+    h2 = _slice_batch(hammer, idx, B, cast_f64=True)
+    bm2, hm2 = bow_mask[idx], hammer_mask[idx]
+    consts2 = consts._replace(
+        has_bow=bool(np.any(bm2)), has_hammer=bool(np.any(hm2)),
+        # strongly-coupled draws mix large-negative and near-one GS
+        # eigenvalues — no scalar damping converges; use the robust
+        # Krylov joint solve (rare path, correctness over speed)
+        coupling_solver="gmres", coupling_max_iter=64,
+    )
+    dev = jax.devices("cpu")[0]
+    return process(
+        s2, b2, h2, bm2, hm2, consts2, Nt, chunk_size, device=dev,
+        save_path=None, sr=sr, skip_nan=True,
+        collect_state=consts.collect_state, defer_state=False,
+    )
+
+
 def process(
     state,
     bow,
@@ -636,6 +697,58 @@ def run(args, save_dir, model_name, n_samples):
         bow_mask, hammer_mask, pluck_mask = masks
 
         state_is_nan = np.isnan(uout.sum(-1))
+        if (
+            state_is_nan.any()
+            and task.get("rescue_nan", True)
+            and task.precision != "double"
+        ):
+            idx = np.nonzero(state_is_nan)[0]
+            print(f"[simulate] f64-rescuing diverged element(s) {idx.tolist()}",
+                  flush=True)
+            rconsts = SimConsts(
+                k=1.0 / sr, theta_t=float(theta_t),
+                lambda_c=float(task.lambda_c),
+                relative_error=float(task.relative_order),
+                M_t=string.Nx_t + 1, M_l=string.Nx_l + 1,
+                surface_integral=bool(task.surface_integral),
+                manufactured=bool(task.manufactured),
+                collect_state=collect_state,
+            )
+            Nt_r = int(task.length * sr)
+            ch_r = Nt_r if task.chunk_length < 0 else int(task.chunk_length * sr)
+            r = rescue_nan_elements(
+                string, bow, hammer, bow_mask, hammer_mask, idx, rconsts,
+                Nt_r, max(ch_r, 3), sr,
+            )
+            r_uout, r_zout, r_su, r_sz, r_vr, r_FH, r_uH, r_s0, r_s1 = r
+            ok = ~np.isnan(r_uout.sum(-1))
+            oki = idx[ok]
+            if len(oki):
+                uout[oki] = r_uout[ok].astype(uout.dtype)
+                zout[oki] = r_zout[ok].astype(zout.dtype)
+                v_r[oki] = r_vr[ok].astype(v_r.dtype)
+                F_H[oki] = r_FH[ok].astype(F_H.dtype)
+                u_H[oki] = r_uH[ok].astype(u_H.dtype)
+                sig0 = np.asarray(sig0).copy()
+                sig1 = np.asarray(sig1).copy()
+                sig0[oki] = np.asarray(r_s0)[ok]
+                sig1[oki] = np.asarray(r_s1)[ok]
+                if collect_state and r_su is not None:
+                    if isinstance(state_u, _DeferredState):
+                        orig_h = state_u
+
+                        def _patched(orig_h=orig_h, r_su=r_su, r_sz=r_sz,
+                                     ok=ok, oki=oki):
+                            su, sz = orig_h.get()
+                            su[oki] = r_su[ok].astype(su.dtype)
+                            sz[oki] = r_sz[ok].astype(sz.dtype)
+                            return su, sz
+
+                        state_u = _DeferredState(_patched)
+                    else:
+                        state_u[oki] = r_su[ok].astype(state_u.dtype)
+                        state_z[oki] = r_sz[ok].astype(state_z.dtype)
+                state_is_nan[oki] = False
         uout = uout * ~state_is_nan[:, None]
         is_silent = audio.dB_RMS(uout) <= task.silence_threshold
 

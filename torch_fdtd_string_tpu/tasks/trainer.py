@@ -83,7 +83,7 @@ def load_checkpoint(ckpt_path, abstract):
     return ckptr.restore(os.path.abspath(ckpt_path), abstract)
 
 
-def latest_checkpoint(run_dir):
+def latest_checkpoint(run_dir, prefer_best=False):
     """Find the single run checkpoint (reference trainer.py:21-27)."""
     pats = [
         f"{run_dir}/string/*/checkpoints/step_*",
@@ -93,6 +93,16 @@ def latest_checkpoint(run_dir):
     for p in pats:
         hits += glob.glob(p)
     assert hits, f"no checkpoint under {run_dir}"
+    # prefer the best-validation checkpoint when train() recorded one
+    # (reference: Lightning ModelCheckpoint monitor='valid/loss'); resume
+    # keeps using the latest step
+    for p in pats if prefer_best else []:
+        marker = os.path.join(os.path.dirname(p), "BEST")
+        for m in glob.glob(marker):
+            best = open(m).read().strip()
+            cand = os.path.join(os.path.dirname(m), f"step_{best}")
+            if os.path.isdir(cand):
+                return cand
     return sorted(hits, key=lambda p: int(p.split("_")[-1]))[-1]
 
 
@@ -336,6 +346,11 @@ def train(args, save_dir):
             if vloss <= best_val:
                 best_val = vloss
                 save_checkpoint(save_dir, state, step)
+                # marker so evaluate() tests the best-val params, not the
+                # final (possibly overfit) state (reference: Lightning
+                # ModelCheckpoint monitor='valid/loss')
+                with open(os.path.join(_ckpt_dir(save_dir), "BEST"), "w") as f:
+                    f.write(str(step))
     save_checkpoint(save_dir, state, step)
     # Lightning 'simple'-profiler-style summary (reference trainer.py:68)
     prof.dump(os.path.join(save_dir, "profile.json"))
@@ -373,7 +388,7 @@ def evaluate(args, save_dir):
         prep0["f_0"],
         prep0["u_0"],
     )
-    ckpt = latest_checkpoint(run_dir)
+    ckpt = latest_checkpoint(run_dir, prefer_best=True)
     restored = load_checkpoint(
         ckpt, {"params": variables["params"],
                "constants": {k: v for k, v in variables.items() if k != "params"}}
