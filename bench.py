@@ -121,19 +121,26 @@ def build_workload(B=16, length=1.0, sr=48000, seed=7, bowed=False):
     return (carry, steps, sp, bp, hp, bm, hm, consts), B, length
 
 
-def probe_backend(timeout=120):
+def probe_backend(timeout=240, retries=2):
     """True if the default JAX backend can actually compute (the axon relay
-    can wedge so hard that any computation hangs indefinitely)."""
+    can wedge so hard that any computation hangs indefinitely; degraded
+    windows can also stretch a trivial op to ~1 min, so probe patiently and
+    retry before demoting the whole bench to the CPU fallback)."""
     import subprocess
 
     code = "import jax, jax.numpy as jnp; print(float((jnp.ones((8,128))*2).sum()))"
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout, capture_output=True
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout, capture_output=True
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        sys.stderr.write(f"[bench] backend probe attempt {attempt + 1} failed\n")
+        time.sleep(30)
+    return False
 
 
 _CAL_BEST = [None]

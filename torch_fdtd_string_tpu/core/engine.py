@@ -388,12 +388,18 @@ def string_step(carry: Carry, xs, sp: StringParams, bp: BowParams, hp: HammerPar
                 + jnp.max(jnp.abs(z_g - z_i), axis=-1)
             )
             grew = delta_b > prev_delta
+            hopeless = jnp.logical_and(grew, omega <= 0.0625)
             omega = jnp.where(grew, jnp.maximum(omega * 0.5, 0.0625), omega)
             # per-element, NaN-robust: a diverged element reads as done so
             # it neither starves healthy elements of sweeps nor drags them
-            # to the iteration cap
+            # to the iteration cap; likewise an element at the relaxation
+            # floor with a still-growing residual cannot converge (it will
+            # NaN and be rescued) and is excluded from the exit test
             scale_b = jnp.max(jnp.abs(u_n), axis=-1) + inner_eps
-            done = jnp.logical_not(jnp.any(delta_b > inner_eps * scale_b))
+            live_err = jnp.logical_and(
+                delta_b > inner_eps * scale_b, jnp.logical_not(hopeless)
+            )
+            done = jnp.logical_not(jnp.any(live_err))
             return u_n, z_n, done, omega, delta_b, it_i + 1
 
         def inner_cond(istate):

@@ -507,14 +507,21 @@ def _kernel(consts: KernelConsts, *refs):
                 + jnp.max(jnp.abs(z_g - z_c), axis=1, keepdims=True)
             )
             grew = delta_b > prev_delta
+            hopeless = jnp.logical_and(grew, omega <= 0.0625)
             omega = jnp.where(grew, jnp.maximum(omega * 0.5, 0.0625), omega)
             # Per-element convergence, decided in the body so the while cond
             # is scalar-only.  NaN-robust by construction: a diverged batch
             # element compares False in ``delta > tol`` and reads as done —
             # it must neither starve healthy elements of sweeps nor drive
-            # the whole batch to the iteration cap.
+            # the whole batch to the iteration cap.  An element whose
+            # relaxation factor sits at the floor with a still-growing
+            # residual cannot converge (it will go NaN and be f64-rescued);
+            # exclude it too instead of burning the sweep cap every step.
             scale_b = jnp.max(jnp.abs(u_c2), axis=1, keepdims=True) + inner_eps
-            done = jnp.logical_not(jnp.any(delta_b > inner_eps * scale_b))
+            live_err = jnp.logical_and(
+                delta_b > inner_eps * scale_b, jnp.logical_not(hopeless)
+            )
+            done = jnp.logical_not(jnp.any(live_err))
             return (u_c2, z_c2, done, F_H, u_H, v_rel, it_c + 1, omega,
                     delta_b)
 

@@ -246,8 +246,11 @@ def rescue_nan_elements(string, bow, hammer, bow_mask, hammer_mask, idx,
     """
     import jax
 
-    jax.config.update("jax_enable_x64", True)  # safe: all paths use
-    # explicit dtypes (the full test suite runs with x64 enabled)
+    # x64 only for the duration of the rescue: leaving it enabled makes
+    # subsequent f32 Pallas kernel traces blow the recursion limit (Mosaic
+    # lowering under x64), silently demoting the fast path to the engine
+    x64_before = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
     B = len(bow_mask)
     dump = os.environ.get("FDTD_DUMP_NAN_PARAMS")
     if dump:  # failure forensics: capture the exact diverged draws
@@ -272,11 +275,14 @@ def rescue_nan_elements(string, bow, hammer, bow_mask, hammer_mask, idx,
         coupling_solver="gmres", coupling_max_iter=64,
     )
     dev = jax.devices("cpu")[0]
-    return process(
-        s2, b2, h2, bm2, hm2, consts2, Nt, chunk_size, device=dev,
-        save_path=None, sr=sr, skip_nan=True,
-        collect_state=consts.collect_state, defer_state=False,
-    )
+    try:
+        return process(
+            s2, b2, h2, bm2, hm2, consts2, Nt, chunk_size, device=dev,
+            save_path=None, sr=sr, skip_nan=True,
+            collect_state=consts.collect_state, defer_state=False,
+        )
+    finally:
+        jax.config.update("jax_enable_x64", x64_before)
 
 
 def process(
