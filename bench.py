@@ -208,10 +208,9 @@ def bench_sim(B, length, bowed, deadline, reps=3):
         d.platform != "cpu" for d in jax.devices()
     )
     run = None
+    T = (sp.f0.shape[1] - 2) // 512 * 512
     if use_pallas:
         from torch_fdtd_string_tpu.ops.pallas_step import string_chunked
-
-        T = (sp.f0.shape[1] - 2) // 512 * 512
         bow_d = None
         if bowed:
             tcut = lambda x: x[:, 2 : 2 + T]
@@ -243,9 +242,12 @@ def bench_sim(B, length, bowed, deadline, reps=3):
             return simulate_chunk(carry, steps, sp, bp, hp, bm, hm, consts)
 
     wall = _timed(run, reps, deadline, label)
-    steps_n = B * (int(48000 * length) - 2)
+    # credit only the steps actually simulated: the pallas run truncates to
+    # a chunk multiple (T), the engine scan runs all Nt-2 steps
+    steps_each = T if use_pallas else int(48000 * length) - 2
+    steps_n = B * steps_each
     return {
-        "audio_s_per_s": round(B * length / wall, 3),
+        "audio_s_per_s": round(steps_n / 48000.0 / wall, 3),
         "string_steps_per_sec": round(steps_n / wall),
         "wall_s": round(wall, 4),
         "backend": "pallas" if use_pallas else "xla",
@@ -284,7 +286,9 @@ def bench_nsynth_e2e(n_samples, deadline):
         "samples_written": written,
         "wall_s": round(wall, 2),
         "audio_s_per_s": round(audio_s / wall, 3),
-        "string_steps_per_sec": round(iters * batch * 47998 / wall),
+        "string_steps_per_sec": round(
+            iters * batch * (int(48000 * float(args.task.length)) - 2) / wall
+        ),
     }
 
 

@@ -64,7 +64,7 @@ def pipeline_dirs(tmp_path_factory):
             collect_state=True,
         )
         uout, zout, state_u, state_z, v_r, F_H, u_H, sig0, sig1 = results
-        string, bow, hammer, consts_list = params_out
+        string, bow, hammer, consts_list = params_out[:4]
         bow_mask, hammer_mask, pluck_mask = masks
         Nx_t = np.asarray(
             fdm.get_derived_vars(

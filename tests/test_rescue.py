@@ -26,7 +26,7 @@ def test_rescue_reruns_elements_at_f64():
                            alpha_min=1.0, alpha_max=3.0),
         rng=rng, collect_state=True,
     )
-    string, bow, hammer, _ = params
+    string, bow, hammer = params[:3]
     bm, hm, _pm = masks
     consts = SimConsts(
         k=1.0 / sr, theta_t=float(theta), lambda_c=1.0, relative_error=4.0,

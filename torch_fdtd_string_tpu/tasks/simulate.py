@@ -188,6 +188,10 @@ def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
 
     if collect_state:
         su_d, sz_d = aux["state_u"], aux["state_z"]
+        if os.environ.get("FDTD_STATE_F16"):
+            # round-1 spelling of the opt-in; f16 is the default now
+            print("[simulate] FDTD_STATE_F16 is obsolete (f16 state pull is "
+                  "the default; set FDTD_STATE_F32=1 for full precision)")
         if os.environ.get("FDTD_STATE_F32") != "1":
             # halve the device->host transfer (this environment's TPU tunnel
             # moves ~25 MB/s; real hosts do GB/s) at ~1e-3 relative precision.
@@ -276,10 +280,25 @@ def rescue_nan_elements(string, bow, hammer, bow_mask, hammer_mask, idx,
     )
     dev = jax.devices("cpu")[0]
     try:
-        return process(
-            s2, b2, h2, bm2, hm2, consts2, Nt, chunk_size, device=dev,
-            save_path=None, sr=sr, skip_nan=True,
-            collect_state=consts.collect_state, defer_state=False,
+        # one element per solve: GMRES inner products span the whole batch,
+        # so a single hopeless element (NaN even at f64 — genuinely
+        # unstable, the reference blows up identically) would poison every
+        # other element sharing its Krylov space, and quiet elements would
+        # be under-solved against a loud joint ||b||
+        outs = []
+        for j in range(len(idx)):
+            outs.append(process(
+                _slice_batch(s2, [j], len(idx)),
+                _slice_batch(b2, [j], len(idx)),
+                _slice_batch(h2, [j], len(idx)),
+                bm2[j : j + 1], hm2[j : j + 1], consts2, Nt, chunk_size,
+                device=dev, save_path=None, sr=sr, skip_nan=True,
+                collect_state=consts.collect_state, defer_state=False,
+            ))
+        return tuple(
+            np.concatenate([np.atleast_1d(o[i]) for o in outs], axis=0)
+            if outs[0][i] is not None else None
+            for i in range(len(outs[0]))
         )
     finally:
         jax.config.update("jax_enable_x64", x64_before)
@@ -540,7 +559,7 @@ def simulate(
         collect_state=collect_state,
         defer_state=defer_state,
     )
-    return results, (string, bow, hammer, [k, theta_t, lambda_c]), (
+    return results, (string, bow, hammer, [k, theta_t, lambda_c], consts), (
         bow_mask,
         hammer_mask,
         pluck_mask,
@@ -699,7 +718,7 @@ def run(args, save_dir, model_name, n_samples):
             f.write(f"{dx}\t{proc_time:.2f}\n")
 
         uout, zout, state_u, state_z, v_r, F_H, u_H, sig0, sig1 = results
-        string, bow, hammer, consts_list = params_out
+        string, bow, hammer, consts_list, sim_consts = params_out
         bow_mask, hammer_mask, pluck_mask = masks
 
         state_is_nan = np.isnan(uout.sum(-1))
@@ -711,15 +730,8 @@ def run(args, save_dir, model_name, n_samples):
             idx = np.nonzero(state_is_nan)[0]
             print(f"[simulate] f64-rescuing diverged element(s) {idx.tolist()}",
                   flush=True)
-            rconsts = SimConsts(
-                k=1.0 / sr, theta_t=float(theta_t),
-                lambda_c=float(task.lambda_c),
-                relative_error=float(task.relative_order),
-                M_t=string.Nx_t + 1, M_l=string.Nx_l + 1,
-                surface_integral=bool(task.surface_integral),
-                manufactured=bool(task.manufactured),
-                collect_state=collect_state,
-            )
+            rconsts = sim_consts  # authoritative run constants; the rescue
+            # overrides only solver/excitation fields itself
             Nt_r = int(task.length * sr)
             ch_r = Nt_r if task.chunk_length < 0 else int(task.chunk_length * sr)
             r = rescue_nan_elements(

@@ -27,6 +27,7 @@ def summarize(load_dir):
     else:
         # aggregate from per-item files
         header = None
+        headers = {}
         for p in sorted(glob.glob(f"{load_dir}/*/string_params.txt")):
             keys, vals = [], []
             with open(p) as f:
@@ -34,11 +35,24 @@ def summarize(load_dir):
                     k, v = line.strip().split("\t")
                     keys.append(k)
                     vals.append(float(v))
-            header = header or keys
+            headers[len(keys)] = keys
             rows.append(vals)
+        if headers:
+            header = headers[max(headers)]
     if not rows:
         print(f"[summarize] nothing to summarize in {load_dir}")
         return None
+
+    # a results dir can mix per-item files written before/after a column-set
+    # change (e.g. an interrupted eval sweep re-run with more keys); keep the
+    # most recent (longest) format rather than crashing on a ragged stack
+    widths = [len(r) for r in rows]
+    if len(set(widths)) > 1:
+        keep = max(widths)
+        dropped = sum(1 for w in widths if w != keep)
+        print(f"[summarize] mixed column formats; dropping {dropped} "
+              f"older-format item(s)")
+        rows = [r for r in rows if len(r) == keep]
 
     arr = np.asarray(rows)
     stats = {

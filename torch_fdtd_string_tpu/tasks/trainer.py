@@ -99,7 +99,7 @@ def latest_checkpoint(run_dir, prefer_best=False):
     for p in pats if prefer_best else []:
         marker = os.path.join(os.path.dirname(p), "BEST")
         for m in glob.glob(marker):
-            best = open(m).read().strip()
+            best = open(m).read().split()[0]
             cand = os.path.join(os.path.dirname(m), f"step_{best}")
             if os.path.isdir(cand):
                 return cand
@@ -279,6 +279,13 @@ def train(args, save_dir):
     prof = Timer()
     step = start_step
     best_val = float("inf")
+    best_marker = os.path.join(_ckpt_dir(save_dir), "BEST")
+    if start_step and os.path.exists(best_marker):
+        # resumed runs must not demote the recorded best on their first
+        # validation; the marker stores "step<TAB>valid_loss"
+        parts = open(best_marker).read().split()
+        if len(parts) > 1:
+            best_val = float(parts[1])
     for epoch in range(start_step // steps_per_epoch, task.total_epoch):
         t0 = time.time()
         if gather is not None:
@@ -349,8 +356,8 @@ def train(args, save_dir):
                 # marker so evaluate() tests the best-val params, not the
                 # final (possibly overfit) state (reference: Lightning
                 # ModelCheckpoint monitor='valid/loss')
-                with open(os.path.join(_ckpt_dir(save_dir), "BEST"), "w") as f:
-                    f.write(str(step))
+                with open(best_marker, "w") as f:
+                    f.write(f"{step}\t{vloss}")
     save_checkpoint(save_dir, state, step)
     # Lightning 'simple'-profiler-style summary (reference trainer.py:68)
     prof.dump(os.path.join(save_dir, "profile.json"))

@@ -191,8 +191,8 @@ def simulation_data(directory, uout, zout, v_r_out, F_H_out, u_H_out,
         plt.close(fig)
 
     # ---- hammer.png: first 8 ms of contact -------------------------------
-    n8 = int(sr * 8e-3)
-    tms = np.linspace(0, 8, n8)
+    n8 = min(int(sr * 8e-3), len(np.asarray(u_H_out)))  # short runs < 8 ms
+    tms = np.linspace(0, n8 / sr * 1e3, n8)
     fig, ax = plt.subplots(figsize=(7, 5), nrows=2, ncols=1)
     ax[0].plot(tms, np.asarray(u_H_out)[:n8], "k-")
     ax[0].set_ylabel("hammer displacement")
