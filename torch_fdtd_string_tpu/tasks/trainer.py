@@ -261,7 +261,9 @@ def train(args, save_dir):
     )
     gather = vgather = None
     if cacheable:
-        ctag = f"{model.n_modes}_{block}_{sr}_{trim or 0}"
+        # every knob that changes the prepared item set must be in the tag,
+        # or a stale host cache silently feeds wrong rows to gather()
+        ctag = f"{model.n_modes}_{block}_{sr}_{trim or 0}_x{x_stride}"
         gather, n_train = _device_cache(
             trainset, model.n_modes, block, sr, drop=("analytic",),
             cache_path=os.path.join(data_dir, task.load_name,
