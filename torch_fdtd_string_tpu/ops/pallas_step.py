@@ -527,12 +527,9 @@ def _kernel(consts: KernelConsts, *refs):
 
         def sweep_cond(carry_s):
             done, it_c = carry_s[2], carry_s[6]
-            return jnp.logical_or(
-                it_c == 0,
-                jnp.logical_and(
-                    jnp.logical_not(done),
-                    it_c < consts.coupling_iters,
-                ),
+            return jnp.logical_and(
+                jnp.logical_not(done),
+                it_c < consts.coupling_iters,
             )
 
         init_s = (u1, z1, jnp.array(False), zcol, zcol, zcol,
@@ -548,7 +545,12 @@ def _kernel(consts: KernelConsts, *refs):
                 carry_s = sweep_body(carry_s, iz_pre=iz1 if j == 0 else None)
             u_n, z_n, _, F_H, u_H, v_rel = carry_s[:6]
         else:
-            fin_s = jax.lax.while_loop(sweep_cond, sweep_body, init_s)
+            # sweep 1 hoisted out of the loop: it reuses the RHS pass's z
+            # interpolation (one fewer blockgather per step) and the loop
+            # then runs only if that sweep did not already converge — the
+            # common pluck case
+            first_s = sweep_body(init_s, iz_pre=iz1)
+            fin_s = jax.lax.while_loop(sweep_cond, sweep_body, first_s)
             u_n, z_n, _, F_H, u_H, v_rel = fin_s[:6]
         u_n = u_n * live_t * (it != 0) * (itf != N_t)
         z_n = z_n * live_l * (it != 0) * (itf != N_l)
