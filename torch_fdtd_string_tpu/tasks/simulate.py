@@ -742,6 +742,11 @@ def run(args, save_dir, model_name, n_samples):
             ok = ~np.isnan(r_uout.sum(-1))
             oki = idx[ok]
             if len(oki):
+                # np.asarray() on jax outputs yields read-only views; copy
+                # before splicing the rescued rows in
+                uout, zout, v_r, F_H, u_H = (
+                    np.array(a) for a in (uout, zout, v_r, F_H, u_H)
+                )
                 uout[oki] = r_uout[ok].astype(uout.dtype)
                 zout[oki] = r_zout[ok].astype(zout.dtype)
                 v_r[oki] = r_vr[ok].astype(v_r.dtype)
