@@ -283,3 +283,36 @@ def test_diverged_element_does_not_poison_batch():
     # the round-1 global-max delta instead cut everyone to one sweep)
     u_ad, _, _ = run(np.arange(16))
     assert np.isfinite(np.asarray(u_ad)[sel]).all()
+
+
+def test_pallas_trace_survives_x64_toggle():
+    """The f64 rescue toggles jax_enable_x64 around its solve; a later f32
+    kernel trace must still compile (leaving x64 on made Mosaic lowering
+    blow the recursion limit and silently demoted the fast path)."""
+    import jax
+
+    import bench
+    from torch_fdtd_string_tpu.ops.pallas_step import string_chunked
+
+    args, B, _ = bench.build_workload(B=4, length=0.02, seed=5)
+    carry, steps, sp, bp, hp, bm, hm, consts = args
+    T = 256
+
+    def k():
+        return string_chunked(
+            sp.f0[:, 2 : 2 + T], sp.kappa, sp.alpha, sp.pos, sp.T60,
+            carry.u1, carry.u2, carry.z1, carry.z2,
+            k=consts.k, theta_t=consts.theta_t, lambda_c=consts.lambda_c,
+            M_t=consts.M_t, M_l=consts.M_l, chunk=T // 2, coupling_iters=4,
+            surface_integral=True, interpret=True,
+        )
+
+    o1 = jax.block_until_ready(k())
+    prev = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        jax.block_until_ready(jax.numpy.ones(3).sum())
+    finally:
+        jax.config.update("jax_enable_x64", prev)
+    o2 = jax.block_until_ready(k())
+    np.testing.assert_array_equal(np.asarray(o1[0]), np.asarray(o2[0]))
