@@ -44,3 +44,57 @@ def test_rescue_reruns_elements_at_f64():
     scale = np.abs(_res[0][1]).max() + 1e-12
     dev = np.abs(r_uout[0] - _res[0][1]).max() / scale
     assert dev < 5e-3, dev
+
+
+import os
+import pytest
+
+
+@pytest.mark.skipif(os.environ.get("FDTD_SLOW") != "1",
+                    reason="slow end-to-end rescue scenario (FDTD_SLOW=1)")
+def test_run_level_rescue_splices_or_skips():
+    """run()-level integration: a batch pinned to the unstable corner
+    (alpha~23, f0~415) triggers the f64 rescue; rescued elements are
+    written with finite artifacts and unrescuable ones (unstable in the
+    reference too) are skipped — never NaN on disk."""
+    import glob
+    import shutil
+    import tempfile
+
+    from torch_fdtd_string_tpu.tasks import simulate as sim_task
+    from torch_fdtd_string_tpu.utils import wav as wavio
+    from torch_fdtd_string_tpu.utils.config import compose
+
+    out = tempfile.mkdtemp(prefix="rescue_e2e_")
+    try:
+        args = compose(
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "torch_fdtd_string_tpu/configs"),
+            ["experiment=nsynth-like", "task.num_samples=4",
+             "task.batch_size=4", "task.length=0.12",
+             "task.randomize_name=false", "proc.cpu=true", "task.plot=false"],
+        )
+        sc = args.task.string_condition
+
+        def setk(key, val):
+            for d in sc:
+                if key in d:
+                    d[key] = val
+                    return
+            sc.append({key: val})
+
+        for k_, v_ in (("f0_min", 410.0), ("f0_max", 420.0),
+                       ("f0_diff_max", 0.0), ("f0_mod_max", 0.0),
+                       ("kappa_min", 0.022), ("kappa_max", 0.0225),
+                       ("alpha_min", 22.9), ("alpha_max", 23.0)):
+            setk(k_, v_)
+        sim_task.run(args, out, "pluck", 1)
+        dirs = sorted(glob.glob(out + "/*-*"))
+        assert dirs, "no samples written at all"
+        for d in dirs:
+            x, _sr = wavio.read(d + "/output.wav")
+            z = np.load(d + "/simulation.npz")
+            assert np.isfinite(np.asarray(x)).all(), d
+            assert np.isfinite(z["state_u"]).all(), d
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
