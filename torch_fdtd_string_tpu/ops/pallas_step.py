@@ -616,7 +616,7 @@ def _kernel(consts: KernelConsts, *refs):
 def string_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
                    k, theta_t, lambda_c, M_t, M_l, chunk=512,
                    coupling_iters=24, surface_integral=False, interpret=False,
-                   batch_block=32, collect_state=False,
+                   batch_block=64, collect_state=False,
                    bow=None, hammer=None, relative_error=4.0,
                    manufactured=False, mms_centered=True, p_a=None,
                    coupling_fixed=0):

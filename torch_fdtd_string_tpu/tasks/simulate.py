@@ -105,7 +105,9 @@ def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
     from ..ops.pallas_step import string_chunked
 
     chunk = 128 if collect_state else 512
-    bblock = 8 if collect_state else 32
+    # measured on v5e: batch_block=64 is ~20% faster than 32 at B=256
+    # (fewer sequential grid blocks); 128 exceeds VMEM
+    bblock = 8 if collect_state else 64
     B = state.u0.shape[0]
     T = Nt - 2
     T_pad = ((T + chunk - 1) // chunk) * chunk
