@@ -368,7 +368,7 @@ def string_step(carry: Carry, xs, sp: StringParams, bp: BowParams, hp: HammerPar
             return u_n, z_n
 
         def inner_body(istate):
-            u_i, z_i, _, omega, prev_delta, it_i = istate
+            u_i, z_i, _, omega, prev_delta, _, it_i = istate
             u_g = tridiag_solve(sub_t, diag_t, sup_t, -rhs_u - K_tl(z_i))
             z_g = tridiag_solve(sub_l, diag_l, sup_l, -rhs_z - K_lt(u_g))
             # Adaptive under-relaxation: the block Gauss-Seidel map diverges
@@ -400,10 +400,10 @@ def string_step(carry: Carry, xs, sp: StringParams, bp: BowParams, hp: HammerPar
                 delta_b > inner_eps * scale_b, jnp.logical_not(hopeless)
             )
             done = jnp.logical_not(jnp.any(live_err))
-            return u_n, z_n, done, omega, delta_b, it_i + 1
+            return u_n, z_n, done, omega, delta_b, hopeless, it_i + 1
 
         def inner_cond(istate):
-            *_, done, _, _, it_i = istate
+            done, it_i = istate[2], istate[6]
             return jnp.logical_or(
                 it_i == 0,
                 jnp.logical_and(
@@ -412,11 +412,18 @@ def string_step(carry: Carry, xs, sp: StringParams, bp: BowParams, hp: HammerPar
             )
 
         Bsz = u0_i.shape[0]
-        u_n, z_n, _, _, _, _ = jax.lax.while_loop(
+        u_n, z_n, _, _, _, hopeless_f, _ = jax.lax.while_loop(
             inner_cond, inner_body,
             (u0_i, z0_i, jnp.array(False), jnp.ones(Bsz, dtype),
-             jnp.full(Bsz, jnp.inf, dtype), jnp.array(0, jnp.int32)),
+             jnp.full(Bsz, jnp.inf, dtype), jnp.zeros(Bsz, bool),
+             jnp.array(0, jnp.int32)),
         )
+        # An element still at the relaxation floor with a growing residual
+        # on the final sweep is under-converged; it usually diverges to NaN
+        # within a few steps, but if it stays finite its wrong state would be
+        # written silently.  Poison it explicitly so the NaN skip/rescue
+        # machinery (tasks/simulate.py) treats it like any diverged element.
+        u_n = jnp.where(hopeless_f[:, None], jnp.nan, u_n)
         u_n = st.dirichlet(st.mask_live(u_n, n_t), N_t)
         z_n = st.dirichlet(st.mask_live(z_n, n_l), N_l)
         return u_n, z_n

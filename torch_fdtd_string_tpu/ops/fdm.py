@@ -46,11 +46,14 @@ def get_derived_vars(f0, kappa_rel, k, theta_t, lambda_c, alpha) -> DerivedVars:
         (gamma**2 * k**2 + jnp.sqrt(gamma**4 * k**4 + 16.0 * K**2 * k**2 * two_t))
         / (2.0 * two_t)
     )
-    N_t = jnp.floor(1.0 / h_1)
+    # floor() guarded by a few ULPs so host-numpy twins (grid_widths_np) and
+    # this XLA path agree at integer boundaries despite 1-ULP sqrt skew
+    eps4 = 4.0 * jnp.finfo(jnp.result_type(h_1)).eps
+    N_t = jnp.floor((1.0 / h_1) * (1.0 + eps4))
     h_t = 1.0 / N_t
 
     h_2 = lambda_c * gamma * alpha * k
-    N_l = jnp.floor(1.0 / h_2)
+    N_l = jnp.floor((1.0 / h_2) * (1.0 + eps4))
     h_l = 1.0 / N_l
     return DerivedVars(gamma, K, N_t, h_t, N_l, h_l)
 
@@ -72,6 +75,31 @@ def get_derived_vars_np(f0, kappa_rel, k, theta_t, lambda_c, alpha):
     h_2 = lambda_c * gamma * alpha * k
     N_l = int(1.0 / h_2)
     return gamma, K, N_t, 1.0 / max(N_t, 1), N_l, 1.0 / max(N_l, 1)
+
+
+def grid_widths_np(f0, kappa_rel, k, theta_t, lambda_c, dtype=np.float32):
+    """Vectorized numpy twin of :func:`get_derived_vars`'s transverse grid
+    count ``N_t`` for host-side consumers (preprocessing upsampling).
+
+    Computed in the simulation's ``dtype`` with the same epsilon-guarded
+    floor as the XLA path so both land on the same integer at floor()
+    boundaries (a 1-ULP numpy-vs-XLA sqrt skew would otherwise off-by-one
+    the live slice; reference recomputes this per step,
+    process_training_data.py:125-128).
+    """
+    dt = np.dtype(dtype).type
+    f0 = np.asarray(f0, dt)
+    gamma = dt(2.0) * f0
+    K = dt(kappa_rel) * gamma
+    two_t = dt(2.0 * theta_t - 1.0)
+    h_1 = dt(lambda_c) * np.sqrt(
+        (gamma**2 * dt(k) ** 2
+         + np.sqrt(gamma**4 * dt(k) ** 4
+                   + dt(16.0) * K**2 * dt(k) ** 2 * two_t))
+        / (dt(2.0) * two_t)
+    )
+    eps4 = dt(4.0) * np.finfo(dt).eps
+    return np.floor((dt(1.0) / h_1) * (dt(1.0) + eps4))
 
 
 def get_theta(kappa_max, f0_inf, sr, lambda_c=1):

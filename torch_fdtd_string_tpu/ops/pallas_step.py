@@ -91,7 +91,7 @@ class KernelConsts(NamedTuple):
     relative_error: float = 4.0
     hammer_max_iter: int = 40
     manufactured: bool = False  # MMS forcing (vnv.cpp:11-37)
-    mms_centered: bool = True
+    mms_centered: bool = False  # aligned with core.engine.SimConsts default
     coupling_fixed: int = 0  # > 0: static unrolled sweeps, no adaptive exit
 
 
@@ -436,7 +436,8 @@ def _kernel(consts: KernelConsts, *refs):
         zcol = jnp.zeros((B, 1), dt)
 
         def sweep_body(carry_s, iz_pre=None):
-            u_c, z_c, _, F_H, u_H, v_rel, it_c, omega, prev_delta = carry_s
+            (u_c, z_c, _, F_H, u_H, v_rel, it_c, omega, prev_delta,
+             hopeless_c) = carry_s
             rhs_u = rhs_u0
             if consts.has_bow:
                 # bow.cpp:17-41; first iterate probes (u1-u2)/k
@@ -492,7 +493,7 @@ def _kernel(consts: KernelConsts, *refs):
             z_g = pcr(sub_l, diag_l, sup_l, -rhs_z - K_lt_from(iu))
             if consts.coupling_fixed > 0:
                 return (u_g, z_g, jnp.array(False), F_H, u_H, v_rel,
-                        it_c + 1, omega, prev_delta)
+                        it_c + 1, omega, prev_delta, hopeless_c)
             # Adaptive under-relaxation (engine coupled_solve twin): plain
             # block Gauss-Seidel diverges when the phi_pow ~ alpha^2
             # coupling pushes its spectral radius past 1 — the reference's
@@ -523,7 +524,7 @@ def _kernel(consts: KernelConsts, *refs):
             )
             done = jnp.logical_not(jnp.any(live_err))
             return (u_c2, z_c2, done, F_H, u_H, v_rel, it_c + 1, omega,
-                    delta_b)
+                    delta_b, jnp.where(hopeless, 1.0, 0.0).astype(dt))
 
         def sweep_cond(carry_s):
             done, it_c = carry_s[2], carry_s[6]
@@ -534,7 +535,7 @@ def _kernel(consts: KernelConsts, *refs):
 
         init_s = (u1, z1, jnp.array(False), zcol, zcol, zcol,
                   jnp.array(0, jnp.int32), jnp.ones((B, 1), dt),
-                  jnp.full((B, 1), jnp.inf, dt))
+                  jnp.full((B, 1), jnp.inf, dt), jnp.zeros((B, 1), dt))
         if consts.coupling_fixed > 0:
             # Static unrolled Gauss-Seidel (engine ``coupling_fixed_iters``
             # twin, engine.py:320-327): no per-sweep reductions or scalar
@@ -552,6 +553,10 @@ def _kernel(consts: KernelConsts, *refs):
             first_s = sweep_body(init_s, iz_pre=iz1)
             fin_s = jax.lax.while_loop(sweep_cond, sweep_body, first_s)
             u_n, z_n, _, F_H, u_H, v_rel = fin_s[:6]
+            # Poison elements that exited with a growing residual at the
+            # relaxation floor (under-converged; engine twin above) so the
+            # NaN skip/rescue path sees them even if they stay finite.
+            u_n = jnp.where(fin_s[9] > 0.0, jnp.nan, u_n)
         u_n = u_n * live_t * (it != 0) * (itf != N_t)
         z_n = z_n * live_l * (it != 0) * (itf != N_l)
 
@@ -618,7 +623,7 @@ def string_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
                    coupling_iters=24, surface_integral=False, interpret=False,
                    batch_block=64, collect_state=False,
                    bow=None, hammer=None, relative_error=4.0,
-                   manufactured=False, mms_centered=True, p_a=None,
+                   manufactured=False, mms_centered=False, p_a=None,
                    coupling_fixed=0):
     """Run the fused string kernel over a full (B, T) control signal.
 

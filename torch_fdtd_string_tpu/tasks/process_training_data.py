@@ -91,23 +91,12 @@ def save_upsampled_data(load_dir, save_dir, sr, Nx, strict=True):
         constants = yaml.safe_load(f)
     theta_t = constants["theta_t"]
     lambda_c = constants["lambda_c"]
-    # Vectorized host-side twin of fdm.get_derived_vars (string.cpp:16-41):
-    # this runs per (Nt,)-sample on the 1-core host where jnp dispatch costs
-    # seconds; plain numpy is milliseconds.  Arithmetic MUST match the
-    # simulator's dtype — at floor() boundaries an f64 1/h_1 can land on the
-    # other side of an integer than the f32 value the engine derived the
-    # stored grid widths from, off-by-one-ing the live slice.
+    # Shared host-side grid-width helper (ops/fdm.grid_widths_np): runs in
+    # plain numpy on the 1-core host (jnp dispatch costs seconds here) with
+    # the simulator's dtype + the same epsilon-guarded floor as the engine,
+    # so the live slice can't off-by-one at floor() boundaries.
     wdt = np.float64 if ut.dtype == np.float64 else np.float32
-    gamma_np = (wdt(2.0) * np.asarray(f0, wdt))
-    K_np = wdt(kr) * gamma_np
-    two_t = wdt(2.0 * theta_t - 1.0)
-    h_1 = wdt(lambda_c) * np.sqrt(
-        (gamma_np**2 * wdt(k) ** 2
-         + np.sqrt(gamma_np**4 * wdt(k) ** 4
-                   + wdt(16.0) * K_np**2 * wdt(k) ** 2 * two_t))
-        / (wdt(2.0) * two_t)
-    )
-    nx_t = np.floor(wdt(1.0) / h_1)
+    nx_t = fdm.grid_widths_np(f0, kr, k, theta_t, lambda_c, dtype=wdt)
 
     dtype = np.float64 if ut.dtype == np.float64 else np.float32
     Nt, Nu = ut.shape

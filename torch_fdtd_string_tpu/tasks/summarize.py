@@ -25,9 +25,11 @@ def summarize(load_dir):
                 parts = line.strip().split("\t")
                 rows.append([float(v) for v in parts[1:]])
     else:
-        # aggregate from per-item files
+        # aggregate from per-item files; rows are keyed by their FULL header
+        # tuple (not just column count) so two formats that happen to share a
+        # width but rename/reorder columns can never be merged positionally
         header = None
-        headers = {}
+        by_header = {}
         for p in sorted(glob.glob(f"{load_dir}/*/string_params.txt")):
             keys, vals = [], []
             with open(p) as f:
@@ -35,24 +37,23 @@ def summarize(load_dir):
                     k, v = line.strip().split("\t")
                     keys.append(k)
                     vals.append(float(v))
-            headers[len(keys)] = keys
-            rows.append(vals)
-        if headers:
-            header = headers[max(headers)]
+            by_header.setdefault(tuple(keys), []).append(vals)
+        if by_header:
+            # a results dir can mix per-item files written before/after a
+            # column-set change (e.g. an interrupted eval sweep re-run with
+            # more keys); keep the richest (widest, then most common) format
+            best = max(by_header, key=lambda h: (len(h), len(by_header[h])))
+            dropped = sum(
+                len(v) for h, v in by_header.items() if h != best
+            )
+            if dropped:
+                print(f"[summarize] mixed column formats; dropping {dropped} "
+                      f"item(s) whose header differs from {list(best)[:4]}...")
+            header = list(best)
+            rows = by_header[best]
     if not rows:
         print(f"[summarize] nothing to summarize in {load_dir}")
         return None
-
-    # a results dir can mix per-item files written before/after a column-set
-    # change (e.g. an interrupted eval sweep re-run with more keys); keep the
-    # most recent (longest) format rather than crashing on a ragged stack
-    widths = [len(r) for r in rows]
-    if len(set(widths)) > 1:
-        keep = max(widths)
-        dropped = sum(1 for w in widths if w != keep)
-        print(f"[summarize] mixed column formats; dropping {dropped} "
-              f"older-format item(s)")
-        rows = [r for r in rows if len(r) == keep]
 
     arr = np.asarray(rows)
     stats = {

@@ -58,6 +58,31 @@ def _init_state(args, model, tx, sample_prep, seed):
     return S.TrainState(params, constants, opt_state, 0, s_rng)
 
 
+def _fast_forward_opt_counts(opt_state, step):
+    """Set every ``count`` field in an optax state tree to ``step``.
+
+    Used when resuming without an optstate checkpoint: optax schedules read
+    their step from these counters, so a fresh state would re-warm the LR
+    from 0 while metrics log schedule(global_step).
+    """
+    import jax.numpy as jnp
+
+    def rec(s):
+        if isinstance(s, tuple) and hasattr(s, "_fields"):
+            vals = {f: rec(getattr(s, f)) for f in s._fields}
+            if "count" in s._fields:
+                c = vals["count"]
+                vals["count"] = jnp.asarray(
+                    step, getattr(c, "dtype", jnp.int32)
+                )
+            return type(s)(**vals)
+        if isinstance(s, (list, tuple)):
+            return type(s)(rec(x) for x in s)
+        return s
+
+    return rec(opt_state)
+
+
 def save_checkpoint(save_dir, state, step, with_opt=True):
     """Write ``step_<n>`` (params + constants, the inference artifact the
     reference keeps as the Lightning ckpt) and, when training, a sibling
@@ -241,6 +266,17 @@ def train(args, save_dir):
             opt_state = load_checkpoint(
                 opt_path, {"opt_state": state.opt_state}
             )["opt_state"]
+        else:
+            # No optimizer-state checkpoint (run dir predates optstate
+            # saving).  Optimizer moments are unavoidably reset; fast-forward
+            # every step counter inside the fresh state to start_step so the
+            # APPLIED schedule LR matches the logged schedule(step) value
+            # instead of silently re-warming from 0.
+            print(
+                f"[trainer] WARNING: {opt_path} missing - optimizer moments "
+                f"reset; fast-forwarding schedule/opt counts to {start_step}"
+            )
+            opt_state = _fast_forward_opt_counts(opt_state, start_step)
         state = S.TrainState(
             restored["params"], restored["constants"], opt_state,
             start_step, jax.random.fold_in(state.rng, start_step),
