@@ -316,3 +316,83 @@ def test_pallas_trace_survives_x64_toggle():
         jax.config.update("jax_enable_x64", prev)
     o2 = jax.block_until_ready(k())
     np.testing.assert_array_equal(np.asarray(o1[0]), np.asarray(o2[0]))
+
+
+def test_kernel_gmres_rescue_exactness():
+    """The in-kernel GMRES rescue solves the coupled system exactly.
+
+    Forcing ``coupling_iters=1`` makes every step's Gauss-Seidel exit
+    unconverged, so the whole trajectory flows through the rescue branch;
+    it must then match the f64 engine as closely as the fully-converged
+    adaptive path does, while the same cap WITHOUT the rescue drifts
+    orders of magnitude further (validates both the branch trigger and the
+    GMRES math; VERDICT r2 task #2)."""
+    import bench
+    import jax.numpy as jnp
+    from torch_fdtd_string_tpu.core.engine import simulate_chunk
+    from torch_fdtd_string_tpu.ops.pallas_step import string_chunked
+
+    args, B, _ = bench.build_workload(B=4, length=0.02, seed=7)
+    carry, steps, sp, bp, hp, bm, hm, consts = args
+    T = 160
+    _, o = simulate_chunk(
+        carry, steps[:T], sp, bp, hp, bm, hm,
+        consts._replace(collect_state=True),
+    )
+    u_eng = np.asarray(o["u"])
+    scale = np.abs(u_eng).max()
+
+    def run(ci, rescue):
+        _, _, aux = string_chunked(
+            sp.f0[:, 2 : 2 + T], sp.kappa, sp.alpha, sp.pos, sp.T60,
+            carry.u1, carry.u2, carry.z1, carry.z2,
+            k=consts.k, theta_t=consts.theta_t, lambda_c=consts.lambda_c,
+            M_t=consts.M_t, M_l=consts.M_l, chunk=T, batch_block=8,
+            surface_integral=True, collect_state=True, interpret=True,
+            coupling_iters=ci, gmres_rescue=rescue,
+        )
+        return np.abs(np.asarray(aux["state_u"]) - u_eng).max() / scale
+
+    err_rescued = run(1, True)
+    err_capped = run(1, False)
+    assert err_rescued < 5e-4, err_rescued
+    assert err_capped > 10 * err_rescued, (err_capped, err_rescued)
+
+
+def test_kernel_f32_stable_strong_coupling():
+    """alpha=23 / f0=392 (golden strong_coupling corner): the f32 kernel
+    must stay finite and track the f64 engine trajectory (reference's
+    exact joint solve is stable here, string.cpp:173-175; round 2's damped
+    GS required a host f64 rescue)."""
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+    from test_golden_reference import _make_cfg, _run_ours
+    from torch_fdtd_string_tpu.ops.pallas_step import string_chunked
+    import jax.numpy as jnp
+
+    cfg, _ = _make_cfg(392.0, 0.03, 23.0, "pluck", p_a=0.01, p_x=0.4)
+    T = 384
+    ours = _run_ours(cfg, T + 2)  # f64 engine truth
+    u_eng = ours["state_u"][:, 2:, :]  # (B, T, M_t)
+
+    dt = jnp.float32
+    _, _, aux = string_chunked(
+        jnp.asarray(cfg["f0"], dt)[:, 2 : 2 + T],
+        jnp.asarray(cfg["kappa"], dt), jnp.asarray(cfg["alpha"], dt),
+        jnp.asarray(cfg["pos"], dt), jnp.asarray(cfg["T60"], dt),
+        jnp.asarray(cfg["u1"], dt), jnp.asarray(cfg["u2"], dt),
+        jnp.zeros((cfg["B"], cfg["M_l"]), dt),
+        jnp.zeros((cfg["B"], cfg["M_l"]), dt),
+        k=cfg["k"], theta_t=cfg["theta_t"], lambda_c=1.0,
+        M_t=cfg["M_t"], M_l=cfg["M_l"], chunk=T, batch_block=8,
+        surface_integral=False, collect_state=True, interpret=True,
+    )
+    su = np.asarray(aux["state_u"]).transpose(1, 0, 2)  # (B, T, M_t)
+    assert np.isfinite(su).all()
+    scale = np.abs(u_eng).max()
+    relerr = np.abs(su - u_eng).max() / scale
+    # f32 vs f64 in the chaotic strong-coupling regime: Lyapunov-amplified
+    # rounding, bounded well below O(1) trajectory divergence
+    assert relerr < 5e-2, relerr

@@ -241,3 +241,73 @@ def test_evaluate_task(pipeline_dirs):
 
     stats = summarize(str(sim_dir))
     assert stats is not None
+
+
+def test_fused_preprocess_matches_classic(tmp_path):
+    """task.fuse_preprocess writes the SAME processed dataset (per-x wavs +
+    parameters.npz) as the classic simulate->simulation.npz->
+    process_training_data chain, without the full-state round-trip
+    (VERDICT r2 task #1)."""
+    import glob as g
+
+    from torch_fdtd_string_tpu.tasks import process_training_data as ptd
+    from torch_fdtd_string_tpu.tasks import simulate as sim_task
+    from torch_fdtd_string_tpu.utils.config import compose
+    from torch_fdtd_string_tpu.utils import wav as wavio
+
+    cfg_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "torch_fdtd_string_tpu", "configs",
+    )
+
+    def run(fuse, out):
+        over = [
+            "experiment=nsynth-like",
+            "task.num_samples=2", "task.batch_size=2", "task.length=0.1",
+            "task.chunk_length=0.1", "task.randomize_name=false",
+            "task.save_x_stride=4", "task.process_Nx=64", "proc.cpu=true",
+            f"task.fuse_preprocess={'true' if fuse else 'false'}",
+        ]
+        args = compose(cfg_dir, over)
+        os.makedirs(out, exist_ok=True)
+        sim_task.run(args, str(out), "pluck", 1)
+        return args
+
+    fused_dir = tmp_path / "fused"
+    run(True, fused_dir)
+    fused_items = sorted(g.glob(str(fused_dir) + "-prep/*"))
+    assert len(fused_items) == 2, fused_items
+    # state-free bundle keeps the rest of the simulation.npz contract
+    z = np.load(os.path.join(str(fused_dir), "0-0", "simulation.npz"))
+    assert "state_u" not in z.files and "uout" in z.files
+
+    classic_dir = tmp_path / "classic"
+    run(False, classic_dir)
+    z = np.load(os.path.join(str(classic_dir), "0-0", "simulation.npz"))
+    assert "state_u" in z.files
+    for d in sorted(g.glob(str(classic_dir) + "/0-*")):
+        out_d = str(tmp_path / "classic-prep" / os.path.basename(d))
+        ptd.save_upsampled_data(d, out_d, 48000, 64, strict=False)
+
+    for item in ("0-0", "0-1"):
+        fu = sorted(g.glob(str(fused_dir) + f"-prep/{item}/ut-*.wav"))
+        assert len(fu) == 16  # Nx=64 / stride 4
+        fz = np.load(str(fused_dir) + f"-prep/{item}/parameters.npz")
+        cz = np.load(str(tmp_path / "classic-prep" / item / "parameters.npz"))
+        # fused saves the strided columns of the classic full grid
+        keep = np.arange(0, 64, 4)
+        np.testing.assert_allclose(
+            fz["x"][0], cz["x"][0][keep], rtol=0, atol=0
+        )
+        np.testing.assert_allclose(
+            fz["mode_freq"], cz["mode_freq"], rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            fz["mode_amps"], cz["mode_amps"][:, keep], rtol=1e-4, atol=1e-8
+        )
+        for xi_f, xi_c in enumerate(keep):
+            wf, _ = wavio.read(str(fused_dir) + f"-prep/{item}/ut-{xi_f}.wav")
+            wc, _ = wavio.read(
+                str(tmp_path / "classic-prep" / item / f"ut-{xi_c}.wav")
+            )
+            assert np.abs(wf - wc).max() < 1e-6, (item, xi_f)

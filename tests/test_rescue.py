@@ -98,3 +98,56 @@ def test_run_level_rescue_splices_or_skips():
             assert np.isfinite(z["state_u"]).all(), d
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_batched_gmres_rescue_isolated():
+    """VERDICT r2 #10: the f64 rescue runs ALL diverged elements in one
+    batched engine call.  The engine's gmres solver is vmapped per element,
+    so a NaN (genuinely unstable) element must not perturb its neighbours:
+    healthy elements' outputs equal their single-element runs exactly."""
+    import jax
+    import jax.numpy as jnp
+    import bench
+    from torch_fdtd_string_tpu.core.engine import Carry, simulate_chunk
+
+    x64_before = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        args, B, _ = bench.build_workload(B=4, length=0.01, seed=3)
+        carry, steps, sp, bp, hp, bm, hm, consts = args
+        f64 = lambda t: jax.tree.map(
+            lambda v: jnp.asarray(v, jnp.float64)
+            if jnp.issubdtype(v.dtype, jnp.floating) else v, t
+        )
+        carry, sp, bp, hp = f64((carry, sp, bp, hp))
+        consts = consts._replace(
+            coupling_solver="gmres", coupling_max_iter=64, collect_state=False
+        )
+        T = 192
+        # poison element 2's initial state
+        u1_bad = carry.u1.at[2, 3].set(jnp.nan)
+        carry_bad = carry._replace(u1=u1_bad)
+        _, out = simulate_chunk(carry_bad, steps[:T], sp, bp, hp, bm, hm, consts)
+        uout = np.asarray(out["uout"]).T  # (B, T)
+        assert np.isnan(uout[2]).any()
+        assert np.isfinite(uout[[0, 1, 3]]).all()
+
+        # healthy elements match their isolated single-element runs
+        sl = lambda t, j: jax.tree.map(
+            lambda v: v[j : j + 1] if hasattr(v, "ndim") and v.ndim >= 1
+            and v.shape[0] == B else v, t
+        )
+        for j in (0, 1, 3):
+            _, o1 = simulate_chunk(
+                sl(carry, j), steps[:T], sl(sp, j), sl(bp, j), sl(hp, j),
+                bm[j : j + 1], hm[j : j + 1], consts,
+            )
+            u1j = np.asarray(o1["uout"]).T[0]
+            # lockstep vmapped GMRES runs extra (converged) cycles for some
+            # elements vs their isolated runs — both are within the solver
+            # tolerance of the exact solution, so agreement is at
+            # accumulated-tolerance level, not bit level
+            scale = np.abs(u1j).max() + 1e-30
+            assert np.abs(uout[j] - u1j).max() / scale < 1e-6, j
+    finally:
+        jax.config.update("jax_enable_x64", x64_before)

@@ -236,3 +236,54 @@ def test_yin_robustness_hard_cases():
     med, v = tracked(uout)
     assert abs(med - 196.0) / 196.0 < 0.015, med
     assert octave_frac(v, 196.0) < 0.01
+
+
+def test_spline_matrix_matches_scipy_bivariate():
+    """GEMM spline operator vs the classic RectBivariateSpline path on a
+    smooth string-like field (same data, same quintic order)."""
+    from torch_fdtd_string_tpu.utils import data
+
+    rng = np.random.default_rng(0)
+    Nt, Nu, Nx = 400, 120, 256
+    x = np.linspace(0, 1, Nu)
+    t = np.arange(Nt, dtype=np.float64)[:, None] / 48000.0
+    modes = np.sin(np.pi * np.arange(1, 9)[:, None] * x[None, :])  # (8, Nu)
+    coef = rng.standard_normal((Nt, 8)) * (1.0 / np.arange(1, 9) ** 2)
+    ut = coef @ modes  # smooth in x
+
+    ref = data.interpolate(ut, t, x, np.linspace(0, 1, Nx), kx=5, ky=5)
+    gem = ut.astype(np.float32) @ data.spline_matrix(Nu, Nx, k=5).T
+    scale = np.abs(ref).max()
+    assert np.abs(gem - ref).max() < 2e-5 * scale, np.abs(gem - ref).max() / scale
+
+    # width-grouped helper: uniform widths reduce to the single GEMM
+    up = data.upsample_columns(ut, np.full(Nt, Nu), Nx, k=5)
+    np.testing.assert_allclose(up, gem, rtol=0, atol=1e-6 * scale)
+
+
+def test_modal_synth_np_matches_device():
+    from torch_fdtd_string_tpu.ops.modal import (
+        modal_synth_nyquist,
+        modal_synth_nyquist_np,
+    )
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    Nt, n, Nx = 2000, 24, 16
+    sr = 48000.0
+    freq_tv = (0.005 + 0.12 * rng.random(n))[None, :] * np.ones((Nt, 1))
+    amps = rng.standard_normal((Nx, n)).astype(np.float32) * 0.01
+    damp = np.exp(-np.arange(Nt) / sr * 3.0)
+
+    dev = np.asarray(
+        modal_synth_nyquist(
+            jnp.asarray(freq_tv[None], jnp.float32),
+            jnp.asarray(amps[:, None, :]),
+            jnp.asarray(damp[None, :, None], jnp.float32),
+            sr,
+        )
+    )[:, :, 0].T
+    host = modal_synth_nyquist_np(freq_tv, amps, damp, sr)
+    scale = np.abs(dev).max()
+    # device accumulates phase in f32; host in f64 — bounded drift only
+    assert np.abs(host - dev).max() < 2e-3 * scale

@@ -1,0 +1,89 @@
+"""Quantify the YIN f0 tracker against analytic ground truth.
+
+The reference pipeline tracks f0 with CREPE (TensorFlow,
+reference src/utils/analysis/frequency.py:4-9); this framework substitutes
+a self-contained YIN tracker (utils/frequency.py).  CREPE cannot run here
+(no TF GPU stack, zero egress), so this tool bounds the substitution error
+against *known* ground truth instead: modal tones synthesised from the
+analytic lossy-stiff-string solution, whose fundamental is the exact
+Fletcher mode-1 frequency.
+
+Usage:  python tools/yin_accuracy.py [n_samples]  ->  prints a table and
+writes tools/yin_accuracy.md (referenced from README).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(n=50, sr=48000, seed=0):
+    from torch_fdtd_string_tpu.core import analytic
+    from torch_fdtd_string_tpu.ops.modal import modal_synth_nyquist_np
+    from torch_fdtd_string_tpu.utils.frequency import compute_harmonic_parameters
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    Nt = sr  # 1 s
+    for i in range(n):
+        f0 = float(rng.uniform(98.0, 440.0))
+        kr = float(rng.uniform(0.01, 0.03))
+        t60 = np.array([[100.0, rng.uniform(10, 25)],
+                        [1000.0, rng.uniform(10, 30)]])
+        p_x = float(rng.uniform(0.2, 0.8))
+        # triangular pluck on the analytic grid
+        Na = 512
+        x = np.linspace(0, 1, Na)
+        u0 = np.where(x < p_x, x / max(p_x, 1e-6),
+                      (1 - x) / max(1 - p_x, 1e-6)) * 0.01
+        _, mode_freq, mode_amps = analytic.lossy_stiff_string(
+            u0, f0, kr, t60, Nt, Na, sr, strict=False, return_field=False
+        )
+        # ground truth fundamental = lowest mode, rad/sample -> Hz
+        f_true = float(mode_freq[0]) * sr / (2 * np.pi)
+        damping = np.ones(Nt)
+        wav = modal_synth_nyquist_np(
+            np.tile(mode_freq[None, :], (Nt, 1)),
+            mode_amps.T[Na // 3 : Na // 3 + 1],  # single pickup position
+            damping, sr,
+        )[:, 0]
+        wav = wav / (np.sqrt(np.mean(wav**2)) + 1e-12)
+        track = compute_harmonic_parameters(wav, sr)["f0"]
+        f_est = float(np.median(track))
+        rows.append((f0, kr, f_true, f_est, abs(f_est - f_true)))
+
+    errs = np.array([r[4] for r in rows])
+    rel = errs / np.array([r[2] for r in rows])
+    cents = 1200 * np.abs(np.log2(np.array([r[3] for r in rows])
+                                  / np.array([r[2] for r in rows])))
+    md = ["# YIN f0-tracker accuracy vs analytic ground truth",
+          "",
+          f"{n} modal tones from `analytic.lossy_stiff_string` (f0 ~ U(98, 440) Hz,",
+          "kappa ~ U(0.01, 0.03), random T60/pluck): the tone's true fundamental is",
+          "the exact Fletcher/transcendental mode-1 frequency; YIN median-track error:",
+          "",
+          "| statistic | abs error (Hz) | rel error | cents |",
+          "|---|---|---|---|",
+          f"| mean | {errs.mean():.4f} | {rel.mean():.2e} | {cents.mean():.3f} |",
+          f"| median | {np.median(errs):.4f} | {np.median(rel):.2e} | {np.median(cents):.3f} |",
+          f"| p95 | {np.percentile(errs, 95):.4f} | {np.percentile(rel, 95):.2e} | {np.percentile(cents, 95):.3f} |",
+          f"| max | {errs.max():.4f} | {rel.max():.2e} | {cents.max():.3f} |",
+          "",
+          "CREPE's published accuracy on clean synthetic tones is ~±3 cents; the",
+          "detune metrics in `evaluate` (mean |delta f0| in Hz) are therefore",
+          "comparable between the two trackers when YIN's p95 stays in the",
+          "few-cents range shown above.",
+          ""]
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "yin_accuracy.md")
+    with open(out, "w") as f:
+        f.write("\n".join(md))
+    print("\n".join(md))
+    print(f"-> {out}")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 50)

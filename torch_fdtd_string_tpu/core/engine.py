@@ -333,28 +333,67 @@ def string_step(carry: Carry, xs, sp: StringParams, bp: BowParams, hp: HammerPar
 
             from ..ops.tridiag import tridiag_matvec
 
-            def mv(x):
-                u_x, z_x = x
-                return (
-                    tridiag_matvec(sub_t, diag_t, sup_t, u_x) + K_tl(z_x),
-                    tridiag_matvec(sub_l, diag_l, sup_l, z_x) + K_lt(u_x),
+            def _solve_one(rhs_u1, rhs_z1, u01, z01, subt1, diagt1, supt1,
+                           subl1, diagl1, supl1, lam1, phi1, n_t1, n_l1,
+                           ht1, hl1):
+                """Per-element GMRES: each batch element gets its OWN
+                Krylov space (inner products do not span the batch), so a
+                hopeless NaN element cannot poison its neighbours and quiet
+                elements are not under-solved against a loud joint ||b||.
+                This is what lets the f64 rescue run all diverged elements
+                in one vmapped call instead of a Python loop (wall time
+                sublinear in the rescue count)."""
+                E = lambda v: v[None]
+                ht_e, hl_e = E(ht1), E(hl1)
+
+                def ktl1(zv):
+                    w = st.interp_linear(E(zv), E(n_l1), E(n_t1), M_t)
+                    return (-phi1 * st.dxf(E(lam1) * st.dxb(w, ht_e), ht_e))[0]
+
+                def klt1(uv):
+                    w = st.interp_linear(
+                        E(lam1) * st.dxb(E(uv), ht_e), E(n_t1), E(n_l1), M_l
+                    )
+                    return (-phi1 * st.dxf(w, hl_e))[0]
+
+                t_solve = lambda a, b, c, x: tridiag_solve(
+                    E(a), E(b), E(c), E(x)
+                )[0]
+                t_mv = lambda a, b, c, x: tridiag_matvec(
+                    E(a), E(b), E(c), E(x)
+                )[0]
+
+                def mv(x):
+                    u_x, z_x = x
+                    return (
+                        t_mv(subt1, diagt1, supt1, u_x) + ktl1(z_x),
+                        t_mv(subl1, diagl1, supl1, z_x) + klt1(u_x),
+                    )
+
+                def prec(r):
+                    r_u, r_z = r
+                    u_p = t_solve(subt1, diagt1, supt1, r_u)
+                    z_p = t_solve(subl1, diagl1, supl1, r_z - klt1(u_p))
+                    return u_p, z_p
+
+                x, _ = gmres(
+                    mv, (rhs_u1, rhs_z1), x0=(u01, z01), M=prec,
+                    tol=float(consts.coupling_eps_factor)
+                    * float(jnp.finfo(dtype).eps),
+                    atol=0.0, restart=16,
+                    maxiter=max(consts.coupling_max_iter // 16, 2),
+                    solve_method="batched",
                 )
+                return x
 
-            def prec(r):
-                r_u, r_z = r
-                u_p = tridiag_solve(sub_t, diag_t, sup_t, r_u)
-                z_p = tridiag_solve(sub_l, diag_l, sup_l, r_z - K_lt(u_p))
-                return u_p, z_p
-
-            x, _ = gmres(
-                mv, (-rhs_u, -rhs_z), x0=(u0_i, z0_i), M=prec,
-                tol=float(consts.coupling_eps_factor)
-                * float(jnp.finfo(dtype).eps),
-                atol=0.0, restart=16,
-                maxiter=max(consts.coupling_max_iter // 16, 2),
-                solve_method="batched",
+            Bv = lam.shape[0]
+            bc = lambda v, shp: jnp.broadcast_to(v, shp)
+            u_n, z_n = jax.vmap(_solve_one)(
+                -rhs_u, -rhs_z, u0_i, z0_i, sub_t, diag_t, sup_t,
+                sub_l, diag_l, sup_l, lam, bc(phi_pow, (Bv, 1)),
+                bc(n_t, (Bv,)), bc(n_l, (Bv,)),
+                bc(ht, (Bv, 1)), bc(hl, (Bv, 1)),
             )
-            u_n, z_n = x
             u_n = st.dirichlet(st.mask_live(u_n, n_t), N_t)
             z_n = st.dirichlet(st.mask_live(z_n, n_l), N_l)
             return u_n, z_n

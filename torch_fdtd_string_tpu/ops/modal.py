@@ -45,6 +45,27 @@ def remove_above_nyquist_mode(amplitudes, frequencies_hz, sr):
     return amplitudes * aa
 
 
+def modal_synth_nyquist_np(freq_tv, amps, damp, sr):
+    """Host numpy twin of :func:`modal_synth_nyquist` for the fused
+    simulate->dataset path, where the mode data is tiny and synthesising on
+    the host avoids pulling the (Nt, Nx) modal field through the
+    device->host link.
+
+    freq_tv: (Nt, n) rad/sample; amps: (Nx, n); damp: (Nt,).
+    Returns (Nt, Nx) float32.  Phase accumulates in f64 (free on the host;
+    the f32 device cumsum drifts ~5e-3 rad over 1 s).
+    """
+    import numpy as np
+
+    freq_tv = np.asarray(freq_tv, np.float64)
+    hz = freq_tv / (2 * np.pi) * sr
+    aa = (hz < sr / 2).astype(np.float32) + 1e-4
+    phase = np.cumsum(freq_tv, axis=0)
+    tbank = np.cos(phase).astype(np.float32) * aa
+    tbank *= np.asarray(damp, np.float32)[:, None]
+    return tbank @ np.ascontiguousarray(np.asarray(amps, np.float32).T)
+
+
 @jax.jit
 def modal_synth_nyquist(freq_tv, amps, damp, sr):
     """Fused nyquist-masked cosine bank.

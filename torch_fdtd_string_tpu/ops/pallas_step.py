@@ -93,6 +93,10 @@ class KernelConsts(NamedTuple):
     manufactured: bool = False  # MMS forcing (vnv.cpp:11-37)
     mms_centered: bool = False  # aligned with core.engine.SimConsts default
     coupling_fixed: int = 0  # > 0: static unrolled sweeps, no adaptive exit
+    # In-kernel GMRES(m) exact-coupling rescue for elements whose damped
+    # Gauss-Seidel sweeps diverge (strong alpha^2 coupling).  False restores
+    # the poison-only behavior (NaN -> host f64 rescue).
+    gmres_rescue: bool = True
 
 
 # backwards-compatible alias
@@ -435,13 +439,17 @@ def _kernel(consts: KernelConsts, *refs):
         inner_eps = 100.0 * float(jnp.finfo(dt).eps)
         zcol = jnp.zeros((B, 1), dt)
 
-        def sweep_body(carry_s, iz_pre=None):
-            (u_c, z_c, _, F_H, u_H, v_rel, it_c, omega, prev_delta,
-             hopeless_c) = carry_s
+        def exc_rhs(u_c, first, F_H, u_H, v_rel):
+            """Excitation RHS terms linearized at iterate ``u_c``.
+
+            ``first`` selects the first-Picard-iterate bow probe
+            (u1-u2)/k (bow.cpp:36-38).  Shared by the Gauss-Seidel sweep
+            loop and the in-kernel GMRES rescue branch.
+            """
             rhs_u = rhs_u0
             if consts.has_bow:
-                # bow.cpp:17-41; first iterate probes (u1-u2)/k
-                du = jnp.where(it_c == 0, u1 - u2, u_c - u1)
+                # bow.cpp:17-41
+                du = jnp.where(first, u1 - u2, u_c - u1)
                 v_rel = jnp.sum(rc * (du / k - v_b), axis=1, keepdims=True)
                 phi = jnp.sign(v_rel) * (
                     phi1 + (1.0 - phi1) * jnp.exp(-phi0 * jnp.abs(v_rel))
@@ -482,7 +490,12 @@ def _kernel(consts: KernelConsts, *refs):
                 )
                 G_H = -(k**2) * eps_prof * (M_r * F_H)
                 rhs_u = rhs_u + hmask * jnp.nan_to_num(G_H)
-            rhs_u = rhs_u * live_t
+            return rhs_u * live_t, F_H, u_H, v_rel
+
+        def sweep_body(carry_s, iz_pre=None):
+            (u_c, z_c, _, F_H, u_H, v_rel, it_c, omega, prev_delta,
+             hopeless_c) = carry_s
+            rhs_u, F_H, u_H, v_rel = exc_rhs(u_c, it_c == 0, F_H, u_H, v_rel)
 
             if iz_pre is None:
                 (iz,) = interp_pair([z_c], [])
@@ -553,10 +566,123 @@ def _kernel(consts: KernelConsts, *refs):
             first_s = sweep_body(init_s, iz_pre=iz1)
             fin_s = jax.lax.while_loop(sweep_cond, sweep_body, first_s)
             u_n, z_n, _, F_H, u_H, v_rel = fin_s[:6]
-            # Poison elements that exited with a growing residual at the
-            # relaxation floor (under-converged; engine twin above) so the
-            # NaN skip/rescue path sees them even if they stay finite.
-            u_n = jnp.where(fin_s[9] > 0.0, jnp.nan, u_n)
+            # ---- in-kernel GMRES rescue (f32 stability at strong coupling)
+            # Elements whose damped Gauss-Seidel exit is untrustworthy:
+            #   * hopeless: residual growing at the relaxation floor,
+            #   * non-finite: diverged to NaN/inf inside the sweep loop,
+            #   * unconverged: exited at the sweep cap above tolerance.
+            # For those, solve the coupled system exactly with GMRES(m) on
+            # the z-space fixed point (I - G) z = c, where G z is one
+            # rhs-free GS sweep (so the matvec reuses the tridiagonal PCR
+            # solves + cross-grid interpolation).  This matches the
+            # reference's exact joint dense solve (string.cpp:173-175),
+            # which has no coupling-strength limit, without paying dense
+            # algebra: GMRES is a polynomial in G and converges even when
+            # the GS spectral radius exceeds 1.  The branch is guarded by a
+            # scalar any() so clean batches pay one reduction only.
+            delta_f, hope_f = fin_s[8], fin_s[9]
+            scale_f = jnp.max(jnp.abs(u_n), axis=1, keepdims=True) + inner_eps
+            finite_f = delta_f < jnp.inf
+            bad = jnp.logical_or(
+                jnp.logical_or(hope_f > 0.0, jnp.logical_not(finite_f)),
+                delta_f > inner_eps * scale_f,
+            )
+            if not consts.gmres_rescue:
+                # poison-only mode: under-converged floor-stuck elements go
+                # NaN so the host skip/rescue machinery sees them
+                u_n = jnp.where(hope_f > 0.0, jnp.nan, u_n)
+            zmat = jnp.zeros((B, MP), dt)
+            tiny = float(np.finfo(np.float32).tiny) ** 0.5  # ~1e-19
+
+            def _sdiv(a, b):
+                """a / b with ~0 denominators mapped to 0 (happy breakdown)."""
+                return jnp.where(jnp.abs(b) > tiny, a / jnp.where(b == 0.0, 1.0, b), 0.0)
+
+            def lin_sweep_z(z_c, rhs_u_s, rhs_z_s):
+                (iz,) = interp_pair([z_c], [])
+                u_g = pcr(sub_t, diag_t, sup_t, -rhs_u_s - K_tl_from(iz))
+                (iu,) = interp_pair([], [lam * dxb(u_g, h_t)])
+                z_g = pcr(sub_l, diag_l, sup_l, -rhs_z_s - K_lt_from(iu))
+                return u_g, z_g
+
+            def gmres_fp(cvec, m):
+                """Unrolled batched GMRES(m) for (I - G) z = c, x0 = 0.
+
+                Per-element Arnoldi/MGS + Givens recurrences on (B, 1)
+                scalars; fully static (no dynamic indexing — Mosaic-safe).
+                Returns (z, relative_residual).
+                """
+                beta = jnp.sqrt(jnp.sum(cvec * cvec, axis=1, keepdims=True))
+                V = [cvec * _sdiv(jnp.ones_like(beta), beta)]
+                cs, sn, Rcols = [], [], []
+                g = [beta]
+                for i in range(m):
+                    _, gz = lin_sweep_z(V[i], zmat, zmat)
+                    w = V[i] - gz
+                    col = []
+                    for j in range(i + 1):
+                        hij = jnp.sum(w * V[j], axis=1, keepdims=True)
+                        col.append(hij)
+                        w = w - hij * V[j]
+                    hlast = jnp.sqrt(jnp.sum(w * w, axis=1, keepdims=True))
+                    V.append(w * _sdiv(jnp.ones_like(hlast), hlast))
+                    col.append(hlast)
+                    for j in range(i):
+                        t0 = cs[j] * col[j] + sn[j] * col[j + 1]
+                        t1 = -sn[j] * col[j] + cs[j] * col[j + 1]
+                        col[j], col[j + 1] = t0, t1
+                    den = jnp.sqrt(col[i] ** 2 + col[i + 1] ** 2)
+                    ci_, si_ = _sdiv(col[i], den), _sdiv(col[i + 1], den)
+                    cs.append(ci_)
+                    sn.append(si_)
+                    col[i] = den
+                    Rcols.append(col[: i + 1])
+                    g.append(-si_ * g[i])
+                    g[i] = ci_ * g[i]
+                y = [zcol] * m
+                for i in reversed(range(m)):
+                    s = g[i]
+                    for j in range(i + 1, m):
+                        s = s - Rcols[j][i] * y[j]
+                    y[i] = _sdiv(s, Rcols[i][i])
+                z = zmat
+                for i in range(m):
+                    z = z + y[i] * V[i]
+                return z, _sdiv(jnp.abs(g[m]), beta)
+
+            def _rescue(args):
+                u_gs, z_gs, F_gs, uH_gs, vr_gs = args
+                npass = 2 if (consts.has_bow or consts.has_hammer) else 1
+                u_lin = u1
+                F_r, uH_r, vr_r = zcol, zcol, zcol
+                for p in range(npass):
+                    rhs_u_p, F_r, uH_r, vr_r = exc_rhs(
+                        u_lin, jnp.asarray(p == 0), F_r, uH_r, vr_r
+                    )
+                    _, cvec = lin_sweep_z(zmat, rhs_u_p, rhs_z)
+                    z_sol, relres = gmres_fp(cvec, 16)
+                    (izs,) = interp_pair([z_sol], [])
+                    u_sol = pcr(sub_t, diag_t, sup_t,
+                                -rhs_u_p - K_tl_from(izs))
+                    u_lin = u_sol
+                # Accept the exact solve if its Krylov residual is small;
+                # otherwise poison with NaN so the host-side f64 rescue /
+                # skip machinery (tasks/simulate.py) keeps its contract.
+                ok = relres <= 1e-3
+                u_fix = jnp.where(ok, u_sol, jnp.nan)
+                return (
+                    jnp.where(bad, u_fix, u_gs),
+                    jnp.where(bad, z_sol, z_gs),
+                    jnp.where(bad, F_r, F_gs),
+                    jnp.where(bad, uH_r, uH_gs),
+                    jnp.where(bad, vr_r, vr_gs),
+                )
+
+            if consts.gmres_rescue:
+                u_n, z_n, F_H, u_H, v_rel = jax.lax.cond(
+                    jnp.any(bad), _rescue, lambda args: args,
+                    (u_n, z_n, F_H, u_H, v_rel),
+                )
         u_n = u_n * live_t * (it != 0) * (itf != N_t)
         z_n = z_n * live_l * (it != 0) * (itf != N_l)
 
@@ -624,7 +750,7 @@ def string_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
                    batch_block=64, collect_state=False,
                    bow=None, hammer=None, relative_error=4.0,
                    manufactured=False, mms_centered=False, p_a=None,
-                   coupling_fixed=0):
+                   coupling_fixed=0, gmres_rescue=True):
     """Run the fused string kernel over a full (B, T) control signal.
 
     ``bow`` (optional): dict with x_b/v_b/F_b/wid (B, T) and phi_0/phi_1/
@@ -653,7 +779,7 @@ def string_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
         has_bow=has_bow, has_hammer=has_hammer,
         relative_error=float(relative_error),
         manufactured=bool(manufactured), mms_centered=bool(mms_centered),
-        coupling_fixed=int(coupling_fixed),
+        coupling_fixed=int(coupling_fixed), gmres_rescue=bool(gmres_rescue),
     )
     t60_flat = jnp.stack(
         [t60[:, 0, 0], t60[:, 0, 1], t60[:, 1, 0], t60[:, 1, 1]], axis=1

@@ -137,3 +137,18 @@ def plot_state_video(save_dir, estimate_states, analytic_states, fdtd_states,
             check=False,
         )
         shutil.rmtree(frames_dir, ignore_errors=True)
+
+
+def save_results(save_dir, wavs, sr, ids=None, prefix=""):
+    """SaveResults twin (reference callbacks.py:259-279): write every test
+    output wave under ``<save_dir>/wave/`` as PCM_16."""
+    wdir = os.path.join(save_dir, "wave")
+    os.makedirs(wdir, exist_ok=True)
+    wavs = np.asarray(wavs)
+    paths = []
+    for i in range(len(wavs)):
+        name = ids[i] if ids is not None else f"{prefix}{i}"
+        p = os.path.join(wdir, f"{name}.wav")
+        wavio.write(p, wavs[i], sr, "PCM_16")
+        paths.append(p)
+    return paths

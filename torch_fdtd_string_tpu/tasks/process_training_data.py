@@ -72,25 +72,28 @@ def t60_to_sigma_tv(T60, f0, K):
     return sig0, sig1
 
 
-def save_upsampled_data(load_dir, save_dir, sr, Nx, strict=True):
-    """Process one simulation directory (reference
-    process_training_data.py:30-223)."""
-    try:
-        _sim, _str, _bow, _ham = load_data(load_dir)
-    except FileNotFoundError:
-        print(f"[preprocess] missing npz bundles in {load_dir}; skipping")
-        return 0
+def build_processed(_sim, _str, _bow, _ham, theta_t, lambda_c, sr, Nx,
+                    strict=True, device_synth=True, x_keep=None):
+    """Shared in-memory preprocessing core.
 
+    Consumes the four artifact dicts (same schema as the npz bundles,
+    reference misc.py:235-299) and returns the ``overall`` dict for
+    :func:`..utils.data.save`.  Used by both the classic disk path
+    (:func:`save_upsampled_data`) and the fused simulate->dataset path
+    (``tasks/simulate.run`` with ``task.fuse_preprocess``), which skips the
+    full-state ``simulation.npz`` round-trip entirely.
+
+    ``device_synth`` picks the jitted cosine bank (big-GEMM friendly) vs the
+    host numpy twin (used inside simulate's writer threads so the modal
+    field never crosses the device->host link).  ``x_keep`` optionally
+    restricts the saved spatial columns (``task.save_x_stride``); the f0
+    tracks / gain / vt stay full-grid.
+    """
     ut = _sim["state_u"]  # (Nt, Nu)
     f0 = _str["f0"]  # (Nt,)
     kr = float(_str["kappa"])
-    al = float(_str["alpha"])
     ts = _str["T60"]  # (2, 2)
     k = 1.0 / sr
-    with open(f"{load_dir}/simulation_config.yaml") as f:
-        constants = yaml.safe_load(f)
-    theta_t = constants["theta_t"]
-    lambda_c = constants["lambda_c"]
     # Shared host-side grid-width helper (ops/fdm.grid_widths_np): runs in
     # plain numpy on the 1-core host (jnp dispatch costs seconds here) with
     # the simulator's dtype + the same epsilon-guarded floor as the engine,
@@ -98,50 +101,26 @@ def save_upsampled_data(load_dir, save_dir, sr, Nx, strict=True):
     wdt = np.float64 if ut.dtype == np.float64 else np.float32
     nx_t = fdm.grid_widths_np(f0, kr, k, theta_t, lambda_c, dtype=wdt)
 
-    dtype = np.float64 if ut.dtype == np.float64 else np.float32
     Nt, Nu = ut.shape
     ki = max(min(5, int(nx_t.min()) - 1), 1)
     xi = np.linspace(0, 1, Nx)
     ti = np.arange(Nt, dtype=np.float64)[:, None] / sr
 
     # --- upsample the FDTD field to the fixed Nx grid --------------------
-    if np.abs(f0 - f0.mean()).sum() < 0.1:  # constant f0
-        xu = np.linspace(0, 1, Nu)
-        ut = data.interpolate(ut, ti, xu, xi, kx=ki, ky=ki)
-    else:
-        # time-varying f0: the live grid width changes per step, but f0
-        # moves slowly so only a handful of distinct widths occur — group
-        # the time rows by width and spline-resample each group as one 2-D
-        # call (the reference loops scipy splines over all 48k steps,
-        # process_training_data.py:141-148)
-        new_ut = np.zeros((Nt, Nx))
-        widths = (nx_t.astype(int) + 1)[:Nt]
-        for nu_t in np.unique(widths):
-            rows = np.nonzero(widths == nu_t)[0]
-            xu = np.linspace(0, 1, nu_t)
-            if len(rows) == 1:
-                new_ut[rows[0]] = data.interpolate1d(
-                    ut[rows[0], :nu_t][None, :], xu, xi, k=ki
-                )[0]
-            else:
-                # evaluating the bivariate spline at its own time knots makes
-                # the time axis exact; only the spatial axis interpolates
-                new_ut[rows] = data.interpolate(
-                    ut[rows][:, :nu_t], rows.astype(np.float64), xu, xi,
-                    kx=1, ky=ki,
-                )
-        ut = new_ut
+    # width-grouped GEMMs against cached spline operators (the reference
+    # loops scipy splines over all 48k steps, process_training_data.py:141-148;
+    # evaluating the tensor spline at its own time knots makes the time axis
+    # exact, so only the spatial spline matters)
+    widths = np.minimum(nx_t.astype(np.int64) + 1, Nu)[:Nt]
+    ut = data.upsample_columns(ut, widths, Nx, k=ki)
 
     # --- analytic modal solution at Na, downsampled to Nx ----------------
     Na = 1024
-    xa = np.linspace(0, 1, Na)
-    u0_a = data.interpolate1d(ut[0][None, :], xi, xa, k=ki)[0]
+    u0_a = ut[0] @ data.spline_matrix(Nx, Na, k=ki).T
     _, mode_freq, mode_amps = analytic.lossy_stiff_string(
         u0_a, f0, kr, ts, Nt, Na, sr, strict=strict, return_field=False
     )
-    mode_amps = np.stack(
-        [data.interpolate1d(m[None, :], xa, xi)[0] for m in mode_amps]
-    )  # (n_modes, Nx)
+    mode_amps = mode_amps @ data.spline_matrix(Na, Nx, k=5).T  # (n_modes, Nx)
 
     # --- time-varying modal frequencies (linear FM by f0 drift) ----------
     omega = f0 / sr * (2 * math.pi)  # rad/sample
@@ -152,18 +131,23 @@ def save_upsampled_data(load_dir, save_dir, sr, Nx, strict=True):
     damping = np.exp(-ti[:, 0] * sig0_tv)  # (Nt,)
 
     # --- modal synthesis (GEMM-contracted nyquist-masked cosine bank) ----
-    import jax.numpy as jnp
+    if device_synth:
+        import jax.numpy as jnp
 
-    from ..ops.modal import modal_synth_nyquist
+        from ..ops.modal import modal_synth_nyquist
 
-    ua = np.asarray(
-        modal_synth_nyquist(
-            jnp.asarray(mode_freq_tv[None, :, :]),  # (1, Nt, n)
-            jnp.asarray(mode_amps.T[:, None, :]),  # (Nx, 1, n)
-            jnp.asarray(damping[None, :, None]),  # (1, Nt, 1)
-            float(sr),
-        )
-    )[:, :, 0].T  # (Nt, Nx)
+        ua = np.asarray(
+            modal_synth_nyquist(
+                jnp.asarray(mode_freq_tv[None, :, :]),  # (1, Nt, n)
+                jnp.asarray(mode_amps.T[:, None, :]),  # (Nx, 1, n)
+                jnp.asarray(damping[None, :, None]),  # (1, Nt, 1)
+                float(sr),
+            )
+        )[:, :, 0].T  # (Nt, Nx)
+    else:
+        from ..ops.modal import modal_synth_nyquist_np
+
+        ua = modal_synth_nyquist_np(mode_freq_tv, mode_amps.T, damping, sr)
 
     # --- f0 tracks of summed fields --------------------------------------
     uas = ua.sum(axis=1)
@@ -173,6 +157,13 @@ def save_upsampled_data(load_dir, save_dir, sr, Nx, strict=True):
 
     gain = audio.ell_infty_normalize(ut.flatten())[1]
     vt = audio.state_to_wav(ut[None])[0]
+
+    if x_keep is not None:
+        x_keep = np.asarray(x_keep, np.int64)
+        ut = ut[:, x_keep]
+        ua = ua[:, x_keep]
+        mode_amps = mode_amps[:, x_keep]
+        xi = xi[x_keep]
 
     _str.pop("v0", None)
     _sim.pop("state_u", None)
@@ -201,6 +192,24 @@ def save_upsampled_data(load_dir, save_dir, sr, Nx, strict=True):
     overall.update(_str)
     overall.update(_bow)
     overall.update(_ham)
+    return overall
+
+
+def save_upsampled_data(load_dir, save_dir, sr, Nx, strict=True):
+    """Process one simulation directory (reference
+    process_training_data.py:30-223)."""
+    try:
+        _sim, _str, _bow, _ham = load_data(load_dir)
+    except FileNotFoundError:
+        print(f"[preprocess] missing npz bundles in {load_dir}; skipping")
+        return 0
+
+    with open(f"{load_dir}/simulation_config.yaml") as f:
+        constants = yaml.safe_load(f)
+    overall = build_processed(
+        _sim, _str, _bow, _ham, constants["theta_t"], constants["lambda_c"],
+        sr, Nx, strict=strict,
+    )
     data.save(save_dir, overall, sr=sr)
     return 1
 

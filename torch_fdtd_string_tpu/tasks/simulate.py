@@ -60,10 +60,11 @@ class _DeferredState:
     whose items are all NaN/silent never pay the transfer at all.
     """
 
-    def __init__(self, fn):
+    def __init__(self, fn, elem_fn=None):
         import threading
 
         self._fn = fn
+        self._elem_fn = elem_fn
         self._lock = threading.Lock()
         self._val = None
 
@@ -74,6 +75,16 @@ class _DeferredState:
                 self._val = self._fn()
                 self._fn = None
         return self._val
+
+    def fetch_element(self, b, w):
+        """Pull only element ``b``'s transverse state at its live width
+        ``w`` — (Nt, w) float32.  The fused simulate->dataset path uses this
+        so each sample moves ~Nt*w*2 bytes over the link instead of the
+        whole padded (Nt, B, M_t) field."""
+        if self._elem_fn is not None and self._val is None:
+            return self._elem_fn(b, w)
+        su, _ = self.get()
+        return np.asarray(su[b, :, :w], np.float32)
 
 
 def _pallas_eligible(consts: SimConsts, device, dtype):
@@ -92,7 +103,7 @@ def _pallas_eligible(consts: SimConsts, device, dtype):
 
 def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
                     consts: SimConsts, Nt, sr, collect_state,
-                    defer_state=False):
+                    defer_state=False, mesh=None):
     """Whole-run fused-kernel path (ops/pallas_step.py).
 
     Control signals are edge-padded up to a chunk multiple; the surplus
@@ -141,7 +152,46 @@ def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
             uH1=uH1, uH2=uH2,
         )
 
-    uout_d, zout_d, aux = string_chunked(
+    call_kernel = string_chunked
+    if mesh is not None and B % mesh.devices.size == 0:
+        # multi-chip dataset generation: run the per-device kernel under
+        # shard_map over the batch axis — embarrassingly parallel, zero
+        # collectives; each chip executes its own pallas grid on B/n strings
+        import jax
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        def _spec_of(x, B_glob):
+            if hasattr(x, "ndim") and x.ndim >= 1:
+                if x.shape[0] == B_glob:
+                    return P(DATA_AXIS, *([None] * (x.ndim - 1)))
+                if x.ndim == 3 and x.shape[1] == B_glob:
+                    return P(None, DATA_AXIS, None)
+            return P()
+
+        def call_kernel(*arrs, **kw):
+            # split array leaves (sharded) from static kwargs
+            def inner(pos_arrs, bow_kw, hammer_kw):
+                return string_chunked(
+                    *pos_arrs,
+                    bow=bow_kw,
+                    hammer=hammer_kw,
+                    **{k: v for k, v in kw.items()
+                       if k not in ("bow", "hammer")},
+                )
+
+            operands = (arrs, kw.get("bow"), kw.get("hammer"))
+            in_specs = jax.tree.map(lambda x: _spec_of(x, B), operands)
+            out_shape = jax.eval_shape(inner, *operands)
+            out_specs = jax.tree.map(lambda x: _spec_of(x, B), out_shape)
+            return shard_map(
+                inner, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_rep=False,
+            )(*operands)
+
+    uout_d, zout_d, aux = call_kernel(
         f0,
         f32(state.kappa),
         f32(state.alpha),
@@ -166,6 +216,9 @@ def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
         manufactured=consts.manufactured,
         mms_centered=consts.mms_centered,
         p_a=f32(state.p_a) if consts.manufactured else None,
+        # in-kernel GMRES exact-coupling rescue (f32 stability at high
+        # alpha); FDTD_NO_KERNEL_GMRES=1 restores round-2 poison-to-host
+        gmres_rescue=os.environ.get("FDTD_NO_KERNEL_GMRES") != "1",
     )
     uout = np.asarray(uout_d)[:, :T]
     zout = np.asarray(zout_d)[:, :T]
@@ -216,7 +269,15 @@ def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
             return state_u, state_z
 
         if defer_state:
-            handle = _DeferredState(_fetch)
+
+            def _fetch_elem(b, w, su_d=su_d):
+                su = np.asarray(su_d[:T, b, :w]).astype(np.float32)  # (T, w)
+                head = np.stack(
+                    [u2_init[b, :w], u1_init[b, :w]], axis=0
+                ).astype(np.float32)
+                return np.concatenate([head, su], axis=0)  # (Nt, w)
+
+            handle = _DeferredState(_fetch, elem_fn=_fetch_elem)
             return uout, zout, handle, None, v_r, F_H, u_H, sig0, sig1
         state_u, state_z = _fetch()
     else:
@@ -282,26 +343,20 @@ def rescue_nan_elements(string, bow, hammer, bow_mask, hammer_mask, idx,
     )
     dev = jax.devices("cpu")[0]
     try:
-        # one element per solve: GMRES inner products span the whole batch,
-        # so a single hopeless element (NaN even at f64 — genuinely
-        # unstable, the reference blows up identically) would poison every
-        # other element sharing its Krylov space, and quiet elements would
-        # be under-solved against a loud joint ||b||
-        outs = []
-        for j in range(len(idx)):
-            outs.append(process(
-                _slice_batch(s2, [j], len(idx)),
-                _slice_batch(b2, [j], len(idx)),
-                _slice_batch(h2, [j], len(idx)),
-                bm2[j : j + 1], hm2[j : j + 1], consts2, Nt, chunk_size,
-                device=dev, save_path=None, sr=sr, skip_nan=True,
-                collect_state=consts.collect_state, defer_state=False,
-            ))
-        return tuple(
-            np.concatenate([np.atleast_1d(o[i]) for o in outs], axis=0)
-            if outs[0][i] is not None else None
-            for i in range(len(outs[0]))
+        # All rescued elements run in ONE batched engine call: the engine's
+        # "gmres" coupling solver is vmapped per element (engine.py
+        # coupled_solve), so each element has its own Krylov space — a
+        # hopeless NaN element (genuinely unstable; the reference blows up
+        # identically at f64) cannot poison its neighbours, and quiet
+        # elements are not under-solved against a loud joint ||b||.  Wall
+        # time is therefore sublinear in the rescue count (lockstep sweeps)
+        # instead of one full re-simulation per element.
+        out = process(
+            s2, b2, h2, bm2, hm2, consts2, Nt, chunk_size,
+            device=dev, save_path=None, sr=sr, skip_nan=True,
+            collect_state=consts.collect_state, defer_state=False,
         )
+        return tuple(np.asarray(o) if o is not None else None for o in out)
     finally:
         jax.config.update("jax_enable_x64", x64_before)
 
@@ -321,6 +376,7 @@ def process(
     skip_nan=True,
     collect_state=True,
     defer_state=False,
+    mesh=None,
 ):
     """Chunked time loop (reference simulate.py:16-119).
 
@@ -336,7 +392,7 @@ def process(
         try:
             return _process_pallas(
                 state, bow, hammer, bow_mask, hammer_mask, consts, Nt, sr,
-                collect_state, defer_state=defer_state,
+                collect_state, defer_state=defer_state, mesh=mesh,
             )
         except Exception as err:  # Mosaic/driver issues -> XLA engine fallback
             if os.environ.get("FDTD_REQUIRE_PALLAS") == "1":
@@ -380,7 +436,16 @@ def process(
     )
     bmask = jnp.asarray(bow_mask)
     hmask = jnp.asarray(hammer_mask)
-    if device is not None:
+    if mesh is not None:
+        # shard the batch axis across the mesh: the scan engine is pure
+        # batched ops, so GSPMD partitions it with no collectives beyond the
+        # convergence-exit any() reductions
+        from ..parallel import mesh as pmesh
+
+        carry, sp, bp, hp, bmask, hmask = pmesh.shard_batch(
+            (carry, sp, bp, hp, bmask, hmask), mesh
+        )
+    elif device is not None:
         carry, sp, bp, hp, bmask, hmask = _to_device(
             (carry, sp, bp, hp, bmask, hmask), device
         )
@@ -528,9 +593,19 @@ def simulate(
     # device placement: TPU by default; CPU for proc.cpu or double precision
     backend = "cpu" if (cpu or precision == "double") else None
     try:
-        device = jax.devices(backend)[0] if backend else jax.devices()[0]
+        devices = jax.devices(backend) if backend else jax.devices()
     except RuntimeError:
-        device = jax.devices("cpu")[0]
+        devices = jax.devices("cpu")
+    device = devices[0]
+    # Multi-device dataset generation: shard the simulation batch over a
+    # 1-D data mesh (reference: single-device batched sim only; TPU-native
+    # scaling is embarrassingly data-parallel over ICI with no collectives)
+    mesh = None
+    if (len(devices) > 1 and batch_size % len(devices) == 0
+            and not os.environ.get("FDTD_NO_MESH")):
+        from ..parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh(devices=devices)
 
     consts = SimConsts(
         k=k,
@@ -560,6 +635,7 @@ def simulate(
         skip_nan=skip_nan,
         collect_state=collect_state,
         defer_state=defer_state,
+        mesh=mesh,
     )
     return results, (string, bow, hammer, [k, theta_t, lambda_c], consts), (
         bow_mask,
@@ -664,9 +740,24 @@ def run(args, save_dir, model_name, n_samples):
     rng = np.random.default_rng(args.proc.seed)
     time_log = []
     os.makedirs(save_dir, exist_ok=True)
+    # Fused simulate->dataset mode (task.fuse_preprocess): write the DMSP
+    # training layout (per-x wavs + parameters.npz) directly from the run,
+    # pulling each element's state at its NATIVE grid width (f16) instead of
+    # the padded batch field, and skipping the multi-GB full-state
+    # simulation.npz (a state-free bundle is still written when task.save;
+    # set fuse_preprocess=false for the classic archival contract).
+    fuse = bool(task.get("fuse_preprocess", False))
+    fuse_stride = int(task.get("save_x_stride", 1) or 1)
+    fuse_Nx = int(task.get("process_Nx", 256) or 256)
+    fuse_dir = task.get("fuse_save_dir") or f"{save_dir}-prep"
+    if fuse:
+        from . import process_training_data as ptd
+        from ..utils import data as udata
+
+        os.makedirs(fuse_dir, exist_ok=True)
     # only state artifacts need the (huge) space-time fields; rainbowgram
     # plots use the readout waveforms alone
-    collect_state = bool(task.save or task.plot_state)
+    collect_state = bool(task.save or task.plot_state or fuse)
 
     import concurrent.futures
 
@@ -800,8 +891,15 @@ def run(args, save_dir, model_name, n_samples):
                        bow_mask=bow_mask, hammer_mask=hammer_mask,
                        pluck_mask=pluck_mask):
             bitrate = "PCM_24" if task.precision == "double" else "PCM_16"
-            if isinstance(state_u, _DeferredState) and (task.save or task.plot_state):
-                state_u, state_z = state_u.get()
+            state_h = state_u
+            # fused mode pulls per-element native-width slices instead of
+            # resolving the full padded field
+            need_full = bool(task.plot_state) or (task.save and not fuse)
+            if isinstance(state_h, _DeferredState):
+                if need_full:
+                    state_u, state_z = state_h.get()
+                else:
+                    state_u = state_z = None
             if task.normalize_output:
                 u_n, gain = audio.ell_infty_normalize(uout[b])
                 z_n = gain * zout[b]
@@ -813,13 +911,9 @@ def run(args, save_dir, model_name, n_samples):
             wavio.write(f"{d}/output.wav", u_n + z_n, sr, bitrate)
 
             if task.save:
-                state_u_b = state_u[b, :, : int(Nx_t[b].max()) + 1]
-                state_z_b = state_z[b, :, : int(Nx_l[b].max()) + 1]
                 overall = dict(
                     uout=uout[b],
                     zout=zout[b],
-                    state_u=state_u_b,
-                    state_z=state_z_b,
                     v_r_out=v_r[b],
                     F_H_out=F_H[b],
                     u_H_out=u_H[b],
@@ -858,7 +952,56 @@ def run(args, save_dir, model_name, n_samples):
                         bow.wid[b],
                     ],
                 )
+                if not fuse:
+                    # the multi-GB space-time fields go into the archival
+                    # bundle only on the classic path; fused runs write the
+                    # processed training layout instead (state-free bundle
+                    # keeps the remaining simulation.npz contract)
+                    overall["state_u"] = state_u[b, :, : int(Nx_t[b].max()) + 1]
+                    overall["state_z"] = state_z[b, :, : int(Nx_l[b].max()) + 1]
                 ms.save_simulation_data(d, excitation, overall, consts_list)
+
+            if fuse:
+                w_b = int(Nx_t[b].max()) + 1
+                if isinstance(state_h, _DeferredState):
+                    ut_nat = state_h.fetch_element(b, w_b)
+                else:
+                    ut_nat = np.asarray(state_h[b, :, :w_b], np.float32)
+                _sim = dict(
+                    state_u=ut_nat,
+                    uout=uout[b], zout=zout[b], v_r_out=v_r[b],
+                    F_H_out=F_H[b], u_H_out=u_H[b],
+                    bow_mask=bow_mask[b], hammer_mask=hammer_mask[b],
+                    pluck_mask=pluck_mask[b],
+                    Nx_t=Nx_t[b], Nx_l=Nx_l[b], sig0=sig0[b], sig1=sig1[b],
+                )
+                _str = dict(
+                    kappa=string.kappa[b], alpha=string.alpha[b],
+                    u0=string.u0[b][None, :], v0=string.v0[b][None, :],
+                    p_a=string.p_a[b], f0=string.f0[b], pos=string.pos[b],
+                    T60=string.T60[b], target_f0=string.target_f0[b],
+                )
+                _bow = dict(
+                    x_B=bow.x_b[b], v_B=bow.v_b[b], F_B=bow.F_b[b],
+                    phi_0=bow.phi_0[b], phi_1=bow.phi_1[b], wid_B=bow.wid[b],
+                )
+                _ham = dict(
+                    x_H=hammer.x_H[b], v_H=hammer.v_H[b], u_H=hammer.u_H[b],
+                    w_H=hammer.w_H[b], M_r=hammer.M_r[b],
+                    alpha=hammer.alpha[b],
+                )
+                x_keep = (
+                    np.arange(0, fuse_Nx, fuse_stride)
+                    if fuse_stride > 1 else None
+                )
+                overall_p = ptd.build_processed(
+                    _sim, _str, _bow, _ham, theta_t, task.lambda_c, sr,
+                    fuse_Nx, strict=False, device_synth=False, x_keep=x_keep,
+                )
+                udata.save(
+                    os.path.join(fuse_dir, os.path.basename(d)), overall_p,
+                    sr=sr,
+                )
 
             if task.plot:
                 from ..utils import plot as uplot

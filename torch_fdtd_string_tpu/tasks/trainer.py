@@ -223,6 +223,14 @@ def train(args, save_dir):
         num_workers=args.proc.num_workers, seed=args.proc.seed,
     )
     valid_loader = DataLoader(validset, task.valid_batch_size, shuffle=False)
+    # dual-loader validation (reference validation_step runs valid AND test
+    # each epoch, synthesize.py:333-383); BEST selection stays on valid/loss
+    try:
+        testset = Testset(data_dir, task.load_name, split="test",
+                          x_stride=x_stride)
+        test_loader = DataLoader(testset, task.valid_batch_size, shuffle=False)
+    except Exception:
+        testset = test_loader = None
 
     registry = build_loss_registry(sr, trim or sr)
     criteria = list(task.loss_criteria)
@@ -295,7 +303,22 @@ def train(args, save_dir):
         and est_gb <= float(os.environ.get("FDTD_DEVICE_CACHE_GB", "6"))
         and not os.environ.get("FDTD_NO_DEVICE_CACHE")
     )
-    gather = vgather = None
+    # Data-parallel mesh over all visible devices (reference trains DDP out
+    # of the box, trainer.py:62-78): batches shard over the "data" axis,
+    # params/opt-state replicate, and jit inserts the gradient psum (the
+    # mechanism tests/test_parallel.py proves equivalent to single-device).
+    mesh = None
+    n_dev = len(jax.devices())
+    if (n_dev > 1 and task.batch_size % n_dev == 0
+            and not os.environ.get("FDTD_NO_MESH")):
+        from ..parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh()
+        state = pmesh.replicate(state, mesh)
+        print(f"[trainer] data-parallel training over {n_dev} devices")
+
+    gather = vgather = tgather = None
+    n_test = 0
     if cacheable:
         # every knob that changes the prepared item set must be in the tag,
         # or a stale host cache silently feeds wrong rows to gather()
@@ -310,6 +333,12 @@ def train(args, save_dir):
             cache_path=os.path.join(data_dir, task.load_name,
                                     f"_prep_valid_{ctag}.npz"),
         )
+        if testset is not None:
+            tgather, n_test = _device_cache(
+                testset, model.n_modes, block, sr, drop=("analytic",),
+                cache_path=os.path.join(data_dir, task.load_name,
+                                        f"_prep_test_{ctag}.npz"),
+            )
         shuffle_rng = np.random.default_rng(args.proc.seed)
 
     from ..utils.profiling import Timer
@@ -339,6 +368,10 @@ def train(args, save_dir):
             )
         with prof.scope("train_epoch"):
             for prep in batch_iter:
+                if mesh is not None:
+                    from ..parallel import mesh as pmesh
+
+                    prep = pmesh.shard_batch(prep, mesh)
                 with prof.scope("train_step"):
                     state, loss_dict = train_step(state, prep)
                 step += 1
@@ -387,6 +420,32 @@ def train(args, save_dir):
             print(f"[trainer] epoch {epoch} step {step} "
                   + " ".join(f"{k}={v:.4f}" for k, v in mean.items()
                              if isinstance(v, float)))
+            # dual-loader validation: the test split is evaluated each
+            # validation epoch too (reference synthesize.py:333-383) so
+            # metrics.jsonl carries both; BEST stays keyed on valid/loss
+            if testset is not None:
+                tvals = []
+                if tgather is not None:
+                    vbs = task.valid_batch_size
+                    test_iter = (
+                        tgather(np.arange(i, min(i + vbs, n_test)))
+                        for i in range(0, n_test, vbs)
+                    )
+                else:
+                    test_iter = (
+                        S.prepare_batch(b, model.n_modes, block, sr)
+                        for b in test_loader
+                    )
+                for prep in test_iter:
+                    _, ld = eval_step(state, prep, rng)
+                    tvals.append({k: float(np.asarray(v)) for k, v in ld.items()})
+                if tvals:
+                    tmean = {
+                        f"test/{k}": float(np.mean([v[k] for v in tvals]))
+                        for k in tvals[0]
+                    }
+                    tmean.update({"epoch": epoch, "step": step, "split": "test"})
+                    _log(save_dir, tmean)
             vloss = mean.get("valid/loss", float("inf"))
             if vloss <= best_val:
                 best_val = vloss
@@ -496,6 +555,23 @@ def evaluate(args, save_dir):
             uplot.rainbowgram(
                 os.path.join(save_dir, "test_target_spec.pdf"),
                 np.asarray(outputs["target"])[0], sr,
+            )
+            # est/tar/analytic logmag+logmel table (reference est_tar_specs,
+            # plot.py:926-1004)
+            uplot.est_tar_specs(
+                os.path.join(save_dir, "test_specs"),
+                np.asarray(outputs["preds"])[:4],
+                np.asarray(outputs["target"])[:4],
+                np.asarray(analytic)[:4], sr,
+            )
+        if task.get("save_results"):
+            # SaveResults twin (reference callbacks.py:259-279)
+            from .callbacks import save_results
+
+            save_results(
+                os.path.join(save_dir, "eval", str(task.load_name)),
+                np.asarray(outputs["preds"]), sr,
+                ids=[f"0-{bi}-{i}" for i in range(len(analytic))],
             )
 
     save_test_results(save_dir, out_rows, header, name="output", ids=ids)

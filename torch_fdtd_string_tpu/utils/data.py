@@ -33,6 +33,53 @@ def interpolate(u, taxis, xaxis, xvals, kx=5, ky=5):
     return rbs(taxis, xvals, grid=True)
 
 
+_SPLINE_MAT_CACHE = {}
+
+
+def spline_matrix(n_in, n_out, k=5):
+    """(n_out, n_in) interpolating-spline operator on uniform [0, 1] grids.
+
+    Quintic (k=5) spline interpolation at fixed knots is LINEAR in the data,
+    so resampling (Nt, n_in) -> (Nt, n_out) is one GEMM with this cached
+    matrix instead of a scipy spline fit per sample (5+ s/sample on this
+    1-core host; the GEMM is ~0.1 s).  Twin of the reference's
+    RectBivariateSpline path (process_training_data.py:136-149) evaluated at
+    the time knots, where the tensor spline reduces to the 1-D x-spline.
+    """
+    key = (int(n_in), int(n_out), int(k))
+    mat = _SPLINE_MAT_CACHE.get(key)
+    if mat is None:
+        from scipy.interpolate import make_interp_spline
+
+        k_eff = max(min(k, n_in - 1), 1)
+        xu = np.linspace(0.0, 1.0, n_in)
+        xi = np.linspace(0.0, 1.0, n_out)
+        spl = make_interp_spline(xu, np.eye(n_in), k=k_eff, axis=0)
+        mat = np.ascontiguousarray(spl(xi), np.float32)  # (n_out, n_in)
+        _SPLINE_MAT_CACHE[key] = mat
+    return mat
+
+
+def upsample_columns(ut, widths, n_out, k=5):
+    """Spline-resample each row of ``ut`` from its live width to ``n_out``.
+
+    ut: (Nt, M) padded state rows; widths: (Nt,) int live column count per
+    row.  Rows are grouped by width (f0 moves slowly, so only a handful of
+    widths occur) and each group is one GEMM against the cached spline
+    matrix — the vectorized fused-preprocessing twin of the reference's
+    per-step scipy loop (process_training_data.py:141-148).
+    """
+    ut = np.asarray(ut)
+    widths = np.asarray(widths, np.int64)
+    Nt = ut.shape[0]
+    out = np.empty((Nt, n_out), np.float32)
+    for w in np.unique(widths):
+        rows = np.nonzero(widths == w)[0]
+        S = spline_matrix(w, n_out, k)  # (n_out, w)
+        out[rows] = ut[rows, :w].astype(np.float32) @ S.T
+    return out
+
+
 def interpolate1d(u, xaxis, xvals, k=5):
     """1-D spline resample (reference misc.py:128-136). u: (1, Nx) -> (1, Nx_out)."""
     from scipy.interpolate import make_interp_spline

@@ -390,3 +390,127 @@ def time_scaling_figure(path, results):
     fig.tight_layout()
     fig.savefig(path, dpi=120)
     plt.close(fig)
+
+
+def scatter_kappa(save_path, f0_diffs, f0_ground, kappa, alpha=None):
+    """Detune-vs-stiffness scatter with Fletcher-prediction overlay
+    (reference plot.py:699-744): |f0_est - f0| against kappa, colored by
+    alpha, with the sorted Fletcher ground-shift curve underneath."""
+    f0_diffs = np.asarray(f0_diffs, float)
+    kappa = np.asarray(kappa, float)
+    fig, ax = plt.subplots(figsize=(2.8, 2.2))
+    if f0_ground is not None:
+        order = np.argsort(kappa)
+        sk = kappa[order][::max(len(kappa) // 24, 1)]
+        sf = np.asarray(f0_ground, float)[order][::max(len(kappa) // 24, 1)]
+        ax.plot(sk, sf, "k-", lw=1.0, alpha=0.5)
+    if alpha is not None:
+        sc = ax.scatter(kappa, f0_diffs, c=np.asarray(alpha, float), s=3.0,
+                        cmap="plasma")
+        cbar = fig.colorbar(sc)
+        cbar.ax.set_title(r"$\alpha$", fontsize=8)
+    else:
+        ax.scatter(kappa, f0_diffs, s=3.0, c="orchid")
+    ax.set_xlabel(r"$\kappa$")
+    ax.set_ylabel(r"$|f_0^{(\tt est)} - f_0|$ (Hz)")
+    ax.xaxis.tick_top()
+    fig.tight_layout()
+    fig.savefig(save_path, bbox_inches="tight", transparent=True, dpi=120)
+    plt.close(fig)
+
+
+def rde_specs(save_dir, factors, est, sim, sr, state_ms=30.0):
+    """Relative-detune-experiment artifact set (reference plot.py:1005-1135
+    + callbacks.PlotRDE, files instead of wandb tables).
+
+    ``est``/``sim``: dicts with ``wav`` (list of (Nt,) arrays, one per
+    factor) and optional ``state`` (list of (Nt, Nx, 2) u/z fields).
+    Writes rde-mag.png / rde-mel.png, rde-state-{pinn,fdtd}-{u,z}.png,
+    per-factor wav pairs and an ``rde.txt`` RDE table; returns the path
+    list."""
+    from .audio import mel_filterbank
+    from .frequency import compute_harmonic_parameters
+    from .vnv import relative_detune_error
+
+    os.makedirs(save_dir, exist_ok=True)
+    n = len(factors)
+    n_fft, hop = 1024, 256
+    mel = mel_filterbank(sr, n_fft, 128)
+
+    def logspecs(w):
+        m = np.asarray(stft_mag(np.asarray(w)[None], n_fft, hop))[0].T
+        return 20 * np.log10(m + 1e-5), 20 * np.log10(mel @ m + 1e-5)
+
+    paths = []
+    for which, key in (("mag", 0), ("mel", 1)):
+        fig, ax = plt.subplots(n, 2, figsize=(5, 1.4 * n), squeeze=False)
+        for i in range(n):
+            ax[i, 0].imshow(logspecs(sim["wav"][i])[key], aspect="auto",
+                            origin="lower", cmap="magma", vmin=-60, vmax=30)
+            ax[i, 1].imshow(logspecs(est["wav"][i])[key], aspect="auto",
+                            origin="lower", cmap="magma", vmin=-60, vmax=30)
+            ax[i, 0].set_ylabel(rf"$x\times{factors[i]}$")
+            for j in (0, 1):
+                ax[i, j].set_xticks([]), ax[i, j].set_yticks([])
+        ax[0, 0].set_title("FDTD")
+        ax[0, 1].set_title("PINN")
+        fig.tight_layout()
+        fig.subplots_adjust(wspace=0, hspace=0)
+        p = os.path.join(save_dir, f"rde-{which}.png")
+        fig.savefig(p, dpi=110)
+        plt.close(fig)
+        paths.append(p)
+
+    if est.get("state") is not None and sim.get("state") is not None:
+        Nt = int(sr * state_ms / 1000)
+        for src, tag in ((sim, "fdtd"), (est, "pinn")):
+            for comp, cname in ((0, "u"), (1, "z")):
+                fig, ax = plt.subplots(n, 2, figsize=(7, 1.4 * n),
+                                       squeeze=False)
+                smax = max(
+                    float(np.abs(np.asarray(s)[:Nt, :, comp]).max())
+                    for s in src["state"]
+                ) or 1.0
+                for i in range(n):
+                    s_i = np.asarray(src["state"][i])[:Nt, :, comp]
+                    d_i = s_i - np.asarray(src["state"][-1])[:Nt, :, comp]
+                    ax[i, 0].imshow(s_i.T, aspect="auto", cmap="coolwarm",
+                                    vmin=-smax, vmax=smax)
+                    ax[i, 1].imshow(d_i.T, aspect="auto", cmap="coolwarm",
+                                    vmin=-smax / 10, vmax=smax / 10)
+                    ax[i, 0].set_ylabel(rf"$x\times{factors[i]}$")
+                    for j in (0, 1):
+                        ax[i, j].set_xticks([]), ax[i, j].set_yticks([])
+                fig.tight_layout()
+                fig.subplots_adjust(wspace=0, hspace=0)
+                p = os.path.join(save_dir, f"rde-state-{tag}-{cname}.png")
+                fig.savefig(p, dpi=110)
+                plt.close(fig)
+                paths.append(p)
+
+    from . import wav as wavio
+
+    rows = []
+    for i, fc in enumerate(factors):
+        fstr = f"{fc:.1f}".replace(".", "_")
+        wavio.write(os.path.join(save_dir, f"rde-pinn-{fstr}.wav"),
+                    np.asarray(est["wav"][i]), sr, "PCM_16")
+        wavio.write(os.path.join(save_dir, f"rde-fdtd-{fstr}.wav"),
+                    np.asarray(sim["wav"][i]), sr, "PCM_16")
+
+        def _f0(w):
+            w = np.asarray(w, np.float64)
+            w = w / (np.sqrt(np.mean(w**2)) + 1e-12)
+            return float(np.median(compute_harmonic_parameters(w, sr)["f0"]))
+
+        rows.append(
+            (fc, float(relative_detune_error(_f0(est["wav"][i]),
+                                             _f0(sim["wav"][i]))))
+        )
+    table = os.path.join(save_dir, "rde.txt")
+    with open(table, "w") as f:
+        f.write("factor\trde_percent\n")
+        for fc, v in rows:
+            f.write(f"{fc}\t{v:.6f}\n")
+    paths.append(table)
+    return paths
