@@ -287,3 +287,80 @@ def test_modal_synth_np_matches_device():
     scale = np.abs(dev).max()
     # device accumulates phase in f32; host in f64 — bounded drift only
     assert np.abs(host - dev).max() < 2e-3 * scale
+
+
+def test_pde_bc_ic_losses():
+    """PDE scaffolding losses (reference loss.py:219-266 twins): the exact
+    analytic MMS field should have a (near-)zero interior residual for its
+    own PDE while a corrupted field scores higher; BC/IC behave as L1s."""
+    import jax.numpy as jnp
+
+    from torch_fdtd_string_tpu.models.losses import (
+        bc_loss, ic_loss, pde_loss, fdtd_residual,
+    )
+    from torch_fdtd_string_tpu.models.objective import build_metric_registry
+
+    B, Nt, Nx = 2, 64, 33
+    sr = 48000.0
+    f0 = np.full(B, 110.0)
+    kappa = np.zeros(B)  # non-stiff -> plain wave equation
+    sig0 = np.zeros(B)
+    sig1 = np.zeros(B)
+    x = np.linspace(0, 1, Nx)
+    t = np.arange(Nt) / sr
+    gamma = 2 * f0[0]
+    # exact d'Alembert mode: sin(pi x) cos(gamma pi t) solves
+    # u_tt = gamma^2 u_xx with c = gamma
+    u = (np.sin(np.pi * x)[None, None, :]
+         * np.cos(np.pi * gamma * t)[None, :, None])
+    u = np.tile(u, (B, 1, 1))
+
+    r_exact = float(fdtd_residual(jnp.asarray(u), x, t, f0, kappa, sig0, sig1))
+    rng = np.random.default_rng(0)
+    u_bad = u + 0.1 * rng.standard_normal(u.shape)
+    r_bad = float(fdtd_residual(jnp.asarray(u_bad), x, t, f0, kappa, sig0, sig1))
+    # exact solution: residual is pure discretization error, orders below
+    # the corrupted field's
+    assert r_bad > 100 * r_exact, (r_exact, r_bad)
+
+    assert float(bc_loss(jnp.zeros((B, 4)))) == 0.0
+    assert abs(float(ic_loss(jnp.ones((B, 5)), jnp.zeros((B, 5)))) - 1.0) < 1e-7
+
+    total = float(pde_loss(
+        jnp.asarray(u), u[:, 0, :], x, t, f0, kappa, sig0, sig1,
+    ))
+    assert np.isfinite(total)
+
+    reg = build_metric_registry()
+    metric, keys = reg["pde"]
+    assert keys[0] == "pde_preds"
+    metric.update(jnp.asarray(u), u[:, 0, :], x, t, f0, kappa, sig0, sig1)
+    assert np.isfinite(metric.compute())
+
+
+def test_rde_specs_artifacts(tmp_path):
+    """rde_specs writes the reference's full RDE artifact set
+    (plot.py:1005-1135 + PlotRDE): spec tables, state panels, per-factor
+    wavs and the rde.txt table."""
+    from torch_fdtd_string_tpu.utils import plot as uplot
+
+    sr = 16000
+    t = np.arange(sr // 4) / sr
+    factors = [0.9, 1.0]
+    mk = lambda f: {
+        "wav": [np.sin(2 * np.pi * 220 * fc * f * t) for fc in factors],
+        "state": [
+            np.random.default_rng(0).standard_normal((sr // 8, 16, 2)) * 1e-3
+            for _ in factors
+        ],
+    }
+    paths = uplot.rde_specs(str(tmp_path), factors, mk(1.0), mk(1.001), sr)
+    import os as _os
+
+    for p in paths:
+        assert _os.path.exists(p), p
+    names = {_os.path.basename(p) for p in paths}
+    assert {"rde-mag.png", "rde-mel.png", "rde-state-pinn-u.png",
+            "rde-state-fdtd-z.png", "rde.txt"} <= names
+    lines = open(str(tmp_path) + "/rde.txt").read().strip().splitlines()
+    assert lines[0] == "factor\trde_percent" and len(lines) == 3

@@ -138,6 +138,79 @@ class MRSTFT:
         return self.weight * total / len(self.res)
 
 
+
+
+def dirichlet_bc(u):
+    """Mean |u| at the two boundary columns (reference loss.py:57-60).
+
+    u: (B, Nt, Nx)."""
+    return 0.5 * (jnp.mean(jnp.abs(u[..., 0])) + jnp.mean(jnp.abs(u[..., -1])))
+
+
+def bc_loss(preds_bc, weight=1.0):
+    """BCLoss twin (reference loss.py:249-257): L1 of boundary samples
+    against zero."""
+    return weight * jnp.mean(jnp.abs(preds_bc))
+
+
+def ic_loss(preds_ic, target_ic, weight=1.0):
+    """ICLoss twin (reference loss.py:259-266)."""
+    return weight * jnp.mean(jnp.abs(preds_ic - target_ic))
+
+
+def fdtd_residual(ut, x, t, f0, kappa, sig0, sig1):
+    """Default interior-residual hook for :func:`pde_loss` — centered
+    second-order residual of the linear lossy stiff-string PDE
+
+        u_tt + 2 sig0 u_t - gamma^2 u_xx + K^2 u_xxxx - 2 sig1 u_txx = 0
+
+    evaluated on the predicted space-time field (the reference leaves
+    ``f_r`` injected by the caller, loss.py:62-83; this is a usable
+    default built the same way the FDTD operators are).
+
+    ut: (B, Nt, Nx); x: (B, 1, Nx) or (Nx,); t: (B, Nt, 1) or (Nt,).
+    """
+    x = jnp.reshape(jnp.asarray(x), (ut.shape[0], 1, -1)) if jnp.ndim(x) > 1 else jnp.reshape(x, (1, 1, -1))
+    t = jnp.reshape(jnp.asarray(t), (ut.shape[0], -1, 1)) if jnp.ndim(t) > 1 else jnp.reshape(t, (1, -1, 1))
+    dx = x[:, :, 1:2] - x[:, :, 0:1]
+    dt_ = t[:, 1:2] - t[:, 0:1]
+    gamma = jnp.reshape(2.0 * f0, (-1, 1, 1))
+    K = jnp.reshape(kappa, (-1, 1, 1)) * gamma
+    s0 = jnp.reshape(sig0, (-1, 1, 1))
+    s1 = jnp.reshape(sig1, (-1, 1, 1))
+    u_t = (ut[:, 2:, :] - ut[:, :-2, :]) / (2.0 * dt_)
+    u_tt = (ut[:, 2:, :] - 2.0 * ut[:, 1:-1, :] + ut[:, :-2, :]) / dt_**2
+    uc = ut[:, 1:-1, :]
+    u_xx = (uc[:, :, 2:] - 2.0 * uc[:, :, 1:-1] + uc[:, :, :-2]) / dx**2
+    u4 = (uc[:, :, 4:] - 4.0 * uc[:, :, 3:-1] + 6.0 * uc[:, :, 2:-2]
+          - 4.0 * uc[:, :, 1:-3] + uc[:, :, :-4]) / dx**4
+    ut_xx = (u_t[:, :, 2:] - 2.0 * u_t[:, :, 1:-1] + u_t[:, :, :-2]) / dx**2
+    r = (u_tt[:, :, 2:-2] + 2.0 * s0 * u_t[:, :, 2:-2]
+         - gamma**2 * u_xx[:, :, 1:-1] + K**2 * u4
+         - 2.0 * s1 * ut_xx[:, :, 1:-1])
+    return jnp.mean(r**2)
+
+
+def pde_loss(ut, u0, x, t, f0, kappa, sig0, sig1,
+             f_ic=None, f_bc=None, f_r=None, w_ic=1.0, w_bc=1.0, w_r=1.0):
+    """PDELoss twin (reference loss.py:62-83, 219-247): weighted sum of
+    initial-condition, boundary-condition and interior-residual terms over
+    a predicted space-time field ``ut`` (B, Nt, Nx).
+
+    The reference wires this as training scaffolding only (not in any
+    default ``loss_criteria``); kept for parity with injectable hooks and
+    the same defaults (L1 IC, |boundary| BC, FDTD residual).
+    """
+    f_ic = f_ic or ic_loss
+    f_bc = f_bc or dirichlet_bc
+    f_r = f_r or fdtd_residual
+    val_ic = f_ic(ut[:, 0, :], jnp.reshape(u0, ut[:, 0, :].shape))
+    val_bc = f_bc(ut)
+    val_r = f_r(ut, x, t, f0, kappa, sig0, sig1)
+    return w_ic * val_ic + w_bc * val_bc + w_r * val_r
+
+
+
 def build_loss_registry(sr, Nt):
     """Loss registry keyed like reference synthesize.py:135-148."""
     size_1 = min(Nt, 1024)
@@ -176,4 +249,8 @@ def build_loss_registry(sr, Nt):
                      ("preds_freq", "target_fk")),
         "modeamps": (partial(mode_amps_loss, scale=200.0, weight=20.0),
                      ("preds_coef", "target_ck")),
+        # PDE scaffolding (reference loss.py:219-266; never in default
+        # criteria there either) — available for physics-informed training
+        "bc": (bc_loss, ("preds_bc",)),
+        "ic": (ic_loss, ("preds_ic", "target_ic")),
     }

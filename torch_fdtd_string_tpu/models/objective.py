@@ -99,6 +99,26 @@ class L1(Metric):
         return d.mean() * d.shape[0], d.shape[0]
 
 
+class PDELoss(Metric):
+    """PDE-residual metric (reference objective.py:398-441): running mean of
+    the IC/BC/interior-residual composite over predicted space-time fields.
+    Scaffolding parity — the reference never places it in default criteria."""
+
+    def __init__(self, w_ic=1.0, w_bc=1.0, w_r=1.0):
+        super().__init__()
+        self.w = (w_ic, w_bc, w_r)
+
+    def _value(self, pde_preds, u0, x, t, f0, kappa, sig0, sig1):
+        from .losses import pde_loss
+
+        ut = pde_preds[..., 0] if pde_preds.ndim == 4 else pde_preds
+        val = pde_loss(
+            ut, u0, x, t, f0, kappa, sig0, sig1,
+            w_ic=self.w[0], w_bc=self.w[1], w_r=self.w[2],
+        )
+        return float(val) * ut.shape[0], ut.shape[0]
+
+
 def build_metric_registry(sr=48000):
     """Metric registry keyed like reference synthesize.py:243-259."""
     return {
@@ -108,4 +128,6 @@ def build_metric_registry(sr=48000):
         "modeamps": (ModeAmps(), ("preds_coef", "target_ck")),
         "mse": (MSE(), ("preds", "target")),
         "l1": (L1(), ("preds", "target")),
+        "pde": (PDELoss(), ("pde_preds", "u_0", "xg", "tg", "f_0",
+                            "ka", "sig0", "sig1")),
     }

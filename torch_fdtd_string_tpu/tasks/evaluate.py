@@ -90,4 +90,24 @@ def evaluate(load_dir, sr=48000, plot=True):
             for name, s in all_scores:
                 f.write(name + "\t" + "\t".join(f"{s[k]:.4f}" for k in keys) + "\n")
         print(f"[evaluate] {len(all_scores)} items -> {load_dir}/evaluation.txt")
+        if plot and len(all_scores) > 1:
+            # multi-panel scatter summaries over the sampled parameter space
+            # (reference plot.py:682-820 scatter_pluck / scatter_kappa)
+            from ..utils import plot as uplot
+
+            g = lambda k: np.array([s[k] for _, s in all_scores])
+            detunes = {
+                r"$|f_0^{(\tt est)} - f_0|$": g("abs_diff_input"),
+                r"$|f_0^{(\tt est)} - \hat{f_0}|$": g("abs_diff_target"),
+            }
+            uplot.detune_scatter(
+                os.path.join(load_dir, "detune_scatter.pdf"), detunes,
+                g("kappa"), alpha=g("alpha"), p_x=g("p_x"), p_a=g("p_a"),
+            )
+            uplot.scatter_kappa(
+                os.path.join(load_dir, "detune_kappa.pdf"),
+                g("abs_diff_input"),
+                np.abs(g("f0_mode_pred") - g("f0_input_mean")),
+                g("kappa"), alpha=g("alpha"),
+            )
     return all_scores
