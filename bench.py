@@ -272,23 +272,36 @@ def bench_nsynth_e2e(n_samples, deadline):
     )
     tmp = tempfile.mkdtemp(prefix="bench_nsynth_")
     try:
+        sim_task.link_bytes(reset=True)
         t0 = time.perf_counter()
         sim_task.run(args, tmp, "pluck", iters)
         wall = time.perf_counter() - t0
+        moved = sim_task.link_bytes()
         written = len(
             [d for d in os.listdir(tmp) if os.path.isdir(os.path.join(tmp, d))]
         )
+        prep_written = 0
+        if os.path.isdir(tmp + "-prep"):
+            prep_written = len(os.listdir(tmp + "-prep"))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp + "-prep", ignore_errors=True)
     audio_s = iters * batch * float(args.task.length)
     return {
         "samples": iters * batch,
         "samples_written": written,
+        # fused path (task.fuse_preprocess, nsynth-like default): each item
+        # is also a READY DMSP training sample (per-x wavs + parameters.npz)
+        "prep_samples_written": prep_written,
         "wall_s": round(wall, 2),
         "audio_s_per_s": round(audio_s / wall, 3),
         "string_steps_per_sec": round(
             iters * batch * (int(48000 * float(args.task.length)) - 2) / wall
         ),
+        # device->host state bytes: the tunnel in this environment is the
+        # e2e denominator (real hosts move GB/s over PCIe)
+        "link_MB": round(moved / 1e6, 1),
+        "link_MB_per_s": round(moved / 1e6 / wall, 2),
     }
 
 

@@ -51,6 +51,26 @@ def _to_device(tree, device):
     return jax.tree.map(lambda x: jax.device_put(x, device), tree)
 
 
+# Device->host link accounting for the big state pulls (the end-to-end
+# bottleneck through this environment's TPU tunnel); bench.py reports it so
+# "e2e audio_s/s" numbers carry their transfer denominator.
+_LINK_BYTES = 0
+
+
+def link_bytes(reset=False):
+    global _LINK_BYTES
+    v = _LINK_BYTES
+    if reset:
+        _LINK_BYTES = 0
+    return v
+
+
+def _count_link(arr):
+    global _LINK_BYTES
+    _LINK_BYTES += int(getattr(arr, "nbytes", 0))
+    return arr
+
+
 class _DeferredState:
     """Lazy device->host pull of the space-time state fields.
 
@@ -256,8 +276,8 @@ def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
             sz_d = sz_d.astype(jnp.float16)
 
         def _fetch(su_d=su_d, sz_d=sz_d):
-            su = np.asarray(su_d)[:T].astype(np.float32).transpose(1, 0, 2)
-            sz = np.asarray(sz_d)[:T].astype(np.float32).transpose(1, 0, 2)
+            su = _count_link(np.asarray(su_d))[:T].astype(np.float32).transpose(1, 0, 2)
+            sz = _count_link(np.asarray(sz_d))[:T].astype(np.float32).transpose(1, 0, 2)
             state_u = np.concatenate(
                 [u2_init[:, None].astype(np.float32),
                  u1_init[:, None].astype(np.float32), su],
@@ -271,7 +291,9 @@ def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
         if defer_state:
 
             def _fetch_elem(b, w, su_d=su_d):
-                su = np.asarray(su_d[:T, b, :w]).astype(np.float32)  # (T, w)
+                su = _count_link(
+                    np.asarray(su_d[:T, b, :w])
+                ).astype(np.float32)  # (T, w)
                 head = np.stack(
                     [u2_init[b, :w], u1_init[b, :w]], axis=0
                 ).astype(np.float32)
