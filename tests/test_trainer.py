@@ -240,3 +240,27 @@ def test_plot_parity_artifacts(tmp_path):
         rng.uniform(0, 1, 20), rng.uniform(0, 0.02, 20),
     )
     assert os.path.exists(tmp_path / "detune.pdf")
+
+
+def test_device_cache_f16_gather(dmsp_data):
+    """FDTD_CACHE_F16: big waveform fields stored half-precision on device,
+    upcast in gather; small fields and values stay exact."""
+    import numpy as np
+
+    from torch_fdtd_string_tpu.data.dataset import Trainset
+    from torch_fdtd_string_tpu.tasks import trainer
+
+    root = dmsp_data
+    ts = Trainset(str(root / "dmsp"), "string")
+    g32, n = trainer._device_cache(ts, 8, 64, 48000, drop=("analytic",))
+    g16, n2 = trainer._device_cache(ts, 8, 64, 48000, drop=("analytic",),
+                                    f16=True)
+    assert n == n2 and n >= 4
+    idx = np.arange(min(4, n))
+    b32 = {k: np.asarray(v) for k, v in g32(idx).items()}
+    b16 = {k: np.asarray(v) for k, v in g16(idx).items()}
+    assert set(b32) == set(b16)
+    for k in b32:
+        assert b16[k].dtype == b32[k].dtype, k  # upcast back to f32
+        scale = max(1e-3, float(np.abs(b32[k]).max()))
+        assert np.max(np.abs(b32[k] - b16[k])) <= 2e-3 * scale, k

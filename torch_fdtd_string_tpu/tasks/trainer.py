@@ -151,7 +151,8 @@ def _stack_items(dataset):
     return _collate([dataset[i] for i in range(len(dataset))])
 
 
-def _device_cache(dataset, n_modes, block, sr, drop=(), cache_path=None):
+def _device_cache(dataset, n_modes, block, sr, drop=(), cache_path=None,
+                  f16=False):
     """Upload the whole (prepared) dataset to the accelerator ONCE and return
     ``(gather, n)`` where ``gather(idx)`` assembles a batch on-device.
 
@@ -177,9 +178,18 @@ def _device_cache(dataset, n_modes, block, sr, drop=(), cache_path=None):
         prep.pop(k, None)
     n = len(dataset)
     shared, full = {}, {}
+    # f16 mode (FDTD_CACHE_F16): store the big per-item float fields (the
+    # audio-length targets dominate) as half precision on device and upcast
+    # in the gather — halves HBM so ~40k-item sets still fit on one chip.
+    # Quantization noise is ~-60 dB relative, below the PCM_16 floor the
+    # reference's wav layout already imposes.
+    big = 8192  # bytes/item threshold: only waveform-scale fields downcast
     for k, v in prep.items():
         if v.ndim >= 2 and v.shape[0] == n and not np.ptp(v, axis=0).any():
             shared[k] = jax.device_put(v[:1])
+        elif (f16 and v.dtype == np.float32
+              and v.nbytes // max(v.shape[0], 1) >= big):
+            full[k] = jax.device_put(v.astype(np.float16))
         else:
             full[k] = jax.device_put(v)
 
@@ -188,7 +198,11 @@ def _device_cache(dataset, n_modes, block, sr, drop=(), cache_path=None):
     # overflowing remote-compile request limits) by the full cache size
     @jax.jit
     def _gather(full_d, shared_d, idx):
-        out = {k: jnp.take(v, idx, axis=0) for k, v in full_d.items()}
+        out = {
+            k: (jnp.take(v, idx, axis=0).astype(jnp.float32)
+                if v.dtype == jnp.float16 else jnp.take(v, idx, axis=0))
+            for k, v in full_d.items()
+        }
         for k, v in shared_d.items():
             out[k] = jnp.broadcast_to(v, (idx.shape[0],) + v.shape[1:])
         return out
@@ -297,7 +311,8 @@ def train(args, save_dir):
     # device-cache the datasets when items are deterministic (no random trim)
     # and small enough; otherwise stream host batches (see _device_cache)
     item_len = first["target"].shape[-1]
-    est_gb = len(trainset) * 2 * item_len * 4 / 1e9
+    cache_f16 = bool(os.environ.get("FDTD_CACHE_F16"))
+    est_gb = len(trainset) * 2 * item_len * (2 if cache_f16 else 4) / 1e9
     cacheable = (
         (trim is None or trim >= item_len)
         and est_gb <= float(os.environ.get("FDTD_DEVICE_CACHE_GB", "6"))
@@ -327,17 +342,20 @@ def train(args, save_dir):
             trainset, model.n_modes, block, sr, drop=("analytic",),
             cache_path=os.path.join(data_dir, task.load_name,
                                     f"_prep_train_{ctag}.npz"),
+            f16=cache_f16,
         )
         vgather, n_valid = _device_cache(
             validset, model.n_modes, block, sr, drop=("analytic",),
             cache_path=os.path.join(data_dir, task.load_name,
                                     f"_prep_valid_{ctag}.npz"),
+            f16=cache_f16,
         )
         if testset is not None:
             tgather, n_test = _device_cache(
                 testset, model.n_modes, block, sr, drop=("analytic",),
                 cache_path=os.path.join(data_dir, task.load_name,
                                         f"_prep_test_{ctag}.npz"),
+                f16=cache_f16,
             )
         shuffle_rng = np.random.default_rng(args.proc.seed)
 
