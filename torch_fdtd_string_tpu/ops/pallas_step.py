@@ -97,6 +97,7 @@ class KernelConsts(NamedTuple):
     # Gauss-Seidel sweeps diverge (strong alpha^2 coupling).  False restores
     # the poison-only behavior (NaN -> host f64 rescue).
     gmres_rescue: bool = True
+    gmres_m: int = 16  # Krylov restart size (basis lives in VMEM scratch)
 
 
 # backwards-compatible alias
@@ -167,6 +168,8 @@ def _kernel(consts: KernelConsts, *refs):
         FHacc = nxt()
         uHacc = nxt()
         uHs = nxt()  # (B, 128): cols 0/1 hold uH1/uH2
+    if consts.gmres_rescue and consts.coupling_fixed == 0:
+        V_ref = nxt()  # (m+1, B, MP) Krylov basis for the coupling rescue
 
     k = consts.k
     theta = consts.theta_t
@@ -606,49 +609,112 @@ def _kernel(consts: KernelConsts, *refs):
                 return u_g, z_g
 
             def gmres_fp(cvec, m):
-                """Unrolled batched GMRES(m) for (I - G) z = c, x0 = 0.
+                """Loop-based batched GMRES(m) for (I - G) z = c, x0 = 0.
 
-                Per-element Arnoldi/MGS + Givens recurrences on (B, 1)
-                scalars; fully static (no dynamic indexing — Mosaic-safe).
+                One matvec per while-iteration with the Krylov basis in
+                VMEM scratch (dynamic-major ``pl.ds`` indexing) and the
+                Arnoldi/Givens recurrences as masked lane updates on
+                (B, 128)/(B, 256) vregs — Mosaic code size is independent
+                of ``m`` (the earlier fully-unrolled form made hardware
+                compiles take tens of minutes at production shapes) and
+                converged elements exit on the running residual.
                 Returns (z, relative_residual).
                 """
+                assert m * m <= 256 and m + 1 <= 128
+                mm = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+                rr = jax.lax.broadcasted_iota(jnp.int32, (B, 256), 1)
+                z128 = jnp.zeros((B, 128), dt)
+
+                def sel(a, idx):
+                    return jnp.sum(jnp.where(mm == idx, a, 0.0), axis=1,
+                                   keepdims=True)
+
+                def put(a, idx, val):
+                    return jnp.where(mm == idx, val, a)
+
                 beta = jnp.sqrt(jnp.sum(cvec * cvec, axis=1, keepdims=True))
-                V = [cvec * _sdiv(jnp.ones_like(beta), beta)]
-                cs, sn, Rcols = [], [], []
-                g = [beta]
-                for i in range(m):
-                    _, gz = lin_sweep_z(V[i], zmat, zmat)
-                    w = V[i] - gz
-                    col = []
-                    for j in range(i + 1):
-                        hij = jnp.sum(w * V[j], axis=1, keepdims=True)
-                        col.append(hij)
-                        w = w - hij * V[j]
+                V_ref[pl.ds(0, 1)] = (
+                    cvec * _sdiv(jnp.ones_like(beta), beta)
+                )[None]
+                g0 = put(z128, 0, beta)
+
+                def body(carry):
+                    i, g, cs, sn, R, _ = carry
+                    vi = V_ref[pl.ds(i, 1)][0]
+                    _, gz = lin_sweep_z(vi, zmat, zmat)
+
+                    def mgs(j, wh):
+                        w, hcol = wh
+                        vj = V_ref[pl.ds(j, 1)][0]
+                        hij = jnp.sum(w * vj, axis=1, keepdims=True)
+                        return (w - hij * vj, put(hcol, j, hij))
+
+                    w, hcol = jax.lax.fori_loop(
+                        0, i + 1, mgs, (vi - gz, z128))
                     hlast = jnp.sqrt(jnp.sum(w * w, axis=1, keepdims=True))
-                    V.append(w * _sdiv(jnp.ones_like(hlast), hlast))
-                    col.append(hlast)
-                    for j in range(i):
-                        t0 = cs[j] * col[j] + sn[j] * col[j + 1]
-                        t1 = -sn[j] * col[j] + cs[j] * col[j + 1]
-                        col[j], col[j + 1] = t0, t1
-                    den = jnp.sqrt(col[i] ** 2 + col[i + 1] ** 2)
-                    ci_, si_ = _sdiv(col[i], den), _sdiv(col[i + 1], den)
-                    cs.append(ci_)
-                    sn.append(si_)
-                    col[i] = den
-                    Rcols.append(col[: i + 1])
-                    g.append(-si_ * g[i])
-                    g[i] = ci_ * g[i]
-                y = [zcol] * m
-                for i in reversed(range(m)):
-                    s = g[i]
-                    for j in range(i + 1, m):
-                        s = s - Rcols[j][i] * y[j]
-                    y[i] = _sdiv(s, Rcols[i][i])
-                z = zmat
-                for i in range(m):
-                    z = z + y[i] * V[i]
-                return z, _sdiv(jnp.abs(g[m]), beta)
+                    V_ref[pl.ds(i + 1, 1)] = (
+                        w * _sdiv(jnp.ones_like(hlast), hlast)
+                    )[None]
+
+                    def rot(j, hc):
+                        hj, hj1 = sel(hc, j), sel(hc, j + 1)
+                        cj, sj = sel(cs, j), sel(sn, j)
+                        hc = put(hc, j, cj * hj + sj * hj1)
+                        return put(hc, j + 1, -sj * hj + cj * hj1)
+
+                    hcol = jax.lax.fori_loop(0, i, rot, hcol)
+                    hi = sel(hcol, i)
+                    den = jnp.sqrt(hi * hi + hlast * hlast)
+                    ci_, si_ = _sdiv(hi, den), _sdiv(hlast, den)
+                    cs = put(cs, i, ci_)
+                    sn = put(sn, i, si_)
+                    hcol = put(hcol, i, den)
+
+                    def stor(j, Rc):
+                        return jnp.where(rr == i * m + j, sel(hcol, j), Rc)
+
+                    R = jax.lax.fori_loop(0, i + 1, stor, R)
+                    gi = sel(g, i)
+                    g = put(g, i, ci_ * gi)
+                    g = put(g, i + 1, -si_ * gi)
+                    return (i + 1, g, cs, sn, R,
+                            jnp.abs(sel(g, i + 1)))
+
+                def cond(carry):
+                    i = carry[0]
+                    res = carry[5]
+                    return jnp.logical_and(
+                        i < m, jnp.any(res > 1e-6 * beta))
+
+                it_n, g, cs, sn, R, res = jax.lax.while_loop(
+                    cond, body,
+                    (jnp.array(0, jnp.int32), g0, z128, z128,
+                     jnp.zeros((B, 256), dt), beta),
+                )
+
+                def selR(idx):
+                    return jnp.sum(jnp.where(rr == idx, R, 0.0), axis=1,
+                                   keepdims=True)
+
+                # back substitution on the rotated system R y = g
+                def bs(tt, y):
+                    i2 = it_n - 1 - tt
+
+                    def acc(j, s):
+                        valid = jnp.logical_and(j > i2, j < it_n)
+                        return s - jnp.where(
+                            valid, selR(j * m + i2) * sel(y, j), 0.0)
+
+                    s = jax.lax.fori_loop(0, m, acc, sel(g, i2))
+                    return put(y, i2, _sdiv(s, selR(i2 * m + i2)))
+
+                y = jax.lax.fori_loop(0, it_n, bs, z128)
+
+                def zc(i2, z):
+                    return z + sel(y, i2) * V_ref[pl.ds(i2, 1)][0]
+
+                z = jax.lax.fori_loop(0, it_n, zc, zmat)
+                return z, _sdiv(res, beta)
 
             def _rescue(args):
                 u_gs, z_gs, F_gs, uH_gs, vr_gs = args
@@ -660,7 +726,7 @@ def _kernel(consts: KernelConsts, *refs):
                         u_lin, jnp.asarray(p == 0), F_r, uH_r, vr_r
                     )
                     _, cvec = lin_sweep_z(zmat, rhs_u_p, rhs_z)
-                    z_sol, relres = gmres_fp(cvec, 16)
+                    z_sol, relres = gmres_fp(cvec, consts.gmres_m)
                     (izs,) = interp_pair([z_sol], [])
                     u_sol = pcr(sub_t, diag_t, sup_t,
                                 -rhs_u_p - K_tl_from(izs))
@@ -750,7 +816,7 @@ def string_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
                    batch_block=64, collect_state=False,
                    bow=None, hammer=None, relative_error=4.0,
                    manufactured=False, mms_centered=False, p_a=None,
-                   coupling_fixed=0, gmres_rescue=True):
+                   coupling_fixed=0, gmres_rescue=True, gmres_m=16):
     """Run the fused string kernel over a full (B, T) control signal.
 
     ``bow`` (optional): dict with x_b/v_b/F_b/wid (B, T) and phi_0/phi_1/
@@ -780,6 +846,7 @@ def string_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
         relative_error=float(relative_error),
         manufactured=bool(manufactured), mms_centered=bool(mms_centered),
         coupling_fixed=int(coupling_fixed), gmres_rescue=bool(gmres_rescue),
+        gmres_m=int(gmres_m),
     )
     t60_flat = jnp.stack(
         [t60[:, 0, 0], t60[:, 0, 1], t60[:, 1, 0], t60[:, 1, 1]], axis=1
@@ -858,6 +925,8 @@ def string_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
             pltpu.VMEM((BB, chunk), dtype),
             pltpu.VMEM((BB, 128), dtype),
         ]
+    if consts.gmres_rescue and consts.coupling_fixed == 0:
+        scratch += [pltpu.VMEM((consts.gmres_m + 1, BB, MP), dtype)]
 
     outs = pl.pallas_call(
         kernel,
@@ -867,6 +936,11 @@ def string_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
         out_specs=tuple(out_specs),
         scratch_shapes=scratch,
         interpret=interpret,
+        # state collection double-buffers two (chunk, BB, MP) out blocks and
+        # the coupling rescue keeps an (m+1, BB, MP) Krylov basis resident;
+        # together they exceed the default 16 MB scoped-VMEM budget at
+        # production shapes (v5e has 128 MB) — raise the cap explicitly
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
     )(*inputs)
 
     uout, zout = outs[0], outs[1]
