@@ -151,6 +151,38 @@ def _stack_items(dataset):
     return _collate([dataset[i] for i in range(len(dataset))])
 
 
+def _prefetch(iterator, depth=2):
+    """Overlap host batch prep + host->device upload with device compute.
+
+    The streaming path (dataset too large for the device cache) otherwise
+    serializes prepare_batch / the ~25 MB device_put behind each train step;
+    a one-thread lookahead queue of ``device_put``-initiated batches keeps
+    the link busy while the previous step runs (the reference gets this from
+    torch DataLoader workers + Lightning's transfer hooks, trainer.py:62-78).
+    """
+    import queue as _q
+    import threading
+
+    import jax
+
+    q = _q.Queue(maxsize=depth)
+    END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(jax.device_put(item))  # async: starts the transfer
+        finally:
+            q.put(END)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is END:
+            return
+        yield item
+
+
 def _device_cache(dataset, n_modes, block, sr, drop=(), cache_path=None,
                   f16=False):
     """Upload the whole (prepared) dataset to the accelerator ONCE and return
@@ -381,7 +413,7 @@ def train(args, save_dir):
                 for i in range(nb)
             )
         else:
-            batch_iter = (
+            batch_iter = _prefetch(
                 S.prepare_batch(b, model.n_modes, block, sr) for b in train_loader
             )
         with prof.scope("train_epoch"):
