@@ -14,7 +14,7 @@ OUT=${OUT:-results/dmsp5k}
 MARK=$OUT/.done
 mkdir -p "$MARK"
 COMMON="experiment=nsynth-like task.save=false task.plot=false \
-  task.save_x_stride=8 task.skip_silence=true"
+  task.save_x_stride=8 task.skip_silence=true task.rescue_nan=false"
 
 gen () { # tag split n seed timeout_s
   local tag=$1 split=$2 n=$3 seed=$4 to=$5

@@ -1,0 +1,97 @@
+"""Wedge-tolerant driver for dmsp5k corpus generation (VERDICT #4).
+
+The axon relay wedges individual connections at random (every device op in
+that process hangs forever, while fresh connections work).  Fixed per-chunk
+timeouts waste most of a bad window, so this driver watches OUTPUT
+progress instead: a chunk subprocess gets a compile grace period, then must
+keep producing dataset items; when it stalls it is killed and the remaining
+sample budget is re-dispatched under a fresh seed (item dirs are
+random-named per seed, so partial chunks never collide).
+
+Usage: python tools/gen_watchdog.py [--out results/dmsp5k]
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+COMMON = [
+    "experiment=nsynth-like", "task.save=false", "task.plot=false",
+    "task.save_x_stride=8", "task.skip_silence=true",
+    "task.rescue_nan=false",
+]
+GRACE_S = 14 * 60   # first-item grace: compile + first batch + first writes
+STALL_S = 8 * 60    # afterwards: no new item dir for this long == wedged
+
+
+def count(d):
+    try:
+        return len(os.listdir(d))
+    except FileNotFoundError:
+        return 0
+
+
+def run_chunk(split, n, seed, out, log):
+    """One simulate invocation; returns (exit_code, items_added)."""
+    dest = os.path.join(out, split)
+    start = count(dest)
+    cmd = [
+        sys.executable, "run.py", *COMMON,
+        f"task.num_samples={n}", f"proc.seed={seed}",
+        f"task.save_name=dmsp5k-sim-{split}-{seed}",
+        f"task.fuse_save_dir={dest}",
+    ]
+    with open(log, "ab") as lf:
+        lf.write(f"\n=== seed {seed} n={n} {time.strftime('%H:%M:%S')}\n".encode())
+        p = subprocess.Popen(cmd, cwd=REPO, stdout=lf, stderr=lf)
+        t0 = time.time()
+        last_n, last_t = start, time.time()
+        while True:
+            rc = p.poll()
+            if rc is not None:
+                return rc, count(dest) - start
+            n_now = count(dest)
+            now = time.time()
+            if n_now > last_n:
+                last_n, last_t = n_now, now
+            budget = GRACE_S if n_now == start else STALL_S
+            if now - last_t > budget:
+                lf.write(f"[watchdog] stall ({n_now - start} items in "
+                         f"{now - t0:.0f}s) -> kill\n".encode())
+                lf.flush()
+                p.kill()
+                p.wait()
+                return -1, n_now - start
+            time.sleep(20)
+
+
+def fill(split, target, out, seed0):
+    """Dispatch chunks until the split holds >= target items."""
+    dest = os.path.join(out, split)
+    log = os.path.join(out, f"log-{split}.txt")
+    seed = seed0
+    while count(dest) < target:
+        missing = target - count(dest)
+        n = min(240, ((missing + 23) // 24) * 24)
+        rc, added = run_chunk(split, n, seed, out, log)
+        print(f"[watchdog] {split} seed={seed} rc={rc} added={added} "
+              f"total={count(dest)}/{target}", flush=True)
+        seed += 1
+        if rc != 0 and added == 0:
+            time.sleep(30)  # wedged before any output; let the relay breathe
+    print(f"[watchdog] {split} complete: {count(dest)}", flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="results/dmsp5k")
+    ap.add_argument("--train", type=int, default=5040)
+    ap.add_argument("--evalsz", type=int, default=72)
+    a = ap.parse_args()
+    os.makedirs(a.out, exist_ok=True)
+    fill("test", a.evalsz, a.out, 300)
+    fill("valid", a.evalsz, a.out, 200)
+    fill("train", a.train, a.out, 1000)
