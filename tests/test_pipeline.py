@@ -310,4 +310,7 @@ def test_fused_preprocess_matches_classic(tmp_path):
             wc, _ = wavio.read(
                 str(tmp_path / "classic-prep" / item / f"ut-{xi_c}.wav")
             )
-            assert np.abs(wf - wc).max() < 1e-6, (item, xi_f)
+            # device postproc pulls the kept columns in float16: bound the
+            # wav delta by the f16 rounding of the item's peak amplitude
+            tol = 5e-4 * np.abs(wc).max() + 1e-7
+            assert np.abs(wf - wc).max() < tol, (item, xi_f)

@@ -73,16 +73,28 @@ class GenericDataset:
         x_idx = int(os.path.splitext(parts[-1])[0].split("-")[-1])
         npz_path = os.path.join(string_dir, "parameters.npz")
         lin_path = tgt_path.replace("ut-", "ua-")
-        linear_wave, _ = wavio.read(lin_path)
+        if os.path.exists(lin_path):
+            linear_wave, _ = wavio.read(lin_path)
+        else:
+            # train-split items generated with task.save_modal=false carry
+            # no modal baseline (only test-time scoring consumes it)
+            linear_wave = None
 
-        Nt = len(linear_wave)
+        keys = KEYS if linear_wave is not None else [
+            k for k in KEYS if k != "ua_f0"
+        ]
+        Nt = (len(linear_wave) if linear_wave is not None
+              else len(wavio.read(tgt_path)[0]))
         if self.trim is not None and Nt > self.trim:
             st = int(self.rng.integers(Nt - self.trim))
             et = st + self.trim
-            linear_wave = linear_wave[st:et]
-            item = dutil.load_wav(tgt_path, npz_path, (st, et), keys=KEYS)
+            if linear_wave is not None:
+                linear_wave = linear_wave[st:et]
+            item = dutil.load_wav(tgt_path, npz_path, (st, et), keys=keys)
         else:
-            item = dutil.load_wav(tgt_path, npz_path, keys=KEYS)
+            item = dutil.load_wav(tgt_path, npz_path, keys=keys)
+        if linear_wave is None:
+            linear_wave = np.zeros_like(item["target"])
 
         freq, amps = self._pad_modes(
             np.asarray(item["mode_freq"]).reshape(-1),

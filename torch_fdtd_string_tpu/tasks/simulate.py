@@ -107,6 +107,34 @@ class _DeferredState:
         return np.asarray(su[b, :, :w], np.float32)
 
 
+class _DeferredPost:
+    """Lazy pull of the on-device postprocessing outputs (ops/postproc.py).
+
+    Holds the device dict from :func:`..ops.postproc.postprocess_batch`;
+    the first writer thread pulls everything at once (K kept f16 columns +
+    tracks — ~30-100x fewer link bytes than the native-width state pulls
+    they replace), overlapping the next batch's kernel."""
+
+    def __init__(self, dev):
+        import threading
+
+        self._dev = dev
+        self._lock = threading.Lock()
+        self._val = None
+
+    def get(self):
+        with self._lock:
+            if self._dev is not None:
+                import jax
+
+                self._val = {
+                    k: _count_link(np.asarray(v))
+                    for k, v in jax.device_get(self._dev).items()
+                }
+                self._dev = None
+        return self._val
+
+
 def _pallas_eligible(consts: SimConsts, device, dtype):
     """The fused TPU kernel covers all excitations incl. MMS (f32 only;
     double-precision verification runs stay on the CPU/XLA engine)."""
@@ -121,9 +149,28 @@ def _pallas_eligible(consts: SimConsts, device, dtype):
     return dtype == _np.float32
 
 
+_OSTACK_DEV = {}
+
+
+def _ostack_device(M, keep, n_grid):
+    """Per-process device-resident spline operator stack (uploaded once)."""
+    import jax.numpy as jnp
+
+    from ..ops import postproc as pp
+
+    key = (int(M), tuple(int(i) for i in keep), int(n_grid))
+    dev = _OSTACK_DEV.get(key)
+    if dev is None:
+        dev = jnp.asarray(
+            pp.spline_operator_stack(M, np.asarray(keep), n_grid=n_grid)
+        )
+        _OSTACK_DEV[key] = dev
+    return dev
+
+
 def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
                     consts: SimConsts, Nt, sr, collect_state,
-                    defer_state=False, mesh=None):
+                    defer_state=False, mesh=None, postproc_keep=None):
     """Whole-run fused-kernel path (ops/pallas_step.py).
 
     Control signals are edge-padded up to a chunk multiple; the surplus
@@ -300,11 +347,97 @@ def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
                 return np.concatenate([head, su], axis=0)  # (Nt, w)
 
             handle = _DeferredState(_fetch, elem_fn=_fetch_elem)
+            handle.post = None
+            if postproc_keep is not None and mesh is None:
+                # device-side dataset postprocessing (ops/postproc.py):
+                # upsample/track/normalise on-chip so only the kept training
+                # grid crosses the link.  Guard: the group sweep covers
+                # per-element width spreads < G (f0_mod <= 8% in the sampler
+                # => ~20; a wider preset falls back to native-width pulls).
+                from ..ops import postproc as pp
+
+                G = 32
+                spread = pp.host_widths_spread(
+                    np.asarray(state.f0, np.float32),
+                    np.asarray(state.kappa), consts.k, consts.theta_t,
+                    consts.lambda_c,
+                )
+                if spread < G:
+                    keep_idx, keep_grid = postproc_keep
+                    out_dev = pp.postprocess_batch(
+                        aux["state_u"][:T],
+                        f32(u1_init), f32(u2_init),
+                        f32(np.asarray(state.f0)[:, :2]), f0,
+                        f32(state.kappa),
+                        _ostack_device(consts.M_t, keep_idx, keep_grid),
+                        k=consts.k, theta_t=consts.theta_t,
+                        lambda_c=consts.lambda_c, sr=sr, G=G,
+                    )
+                    handle.post = _DeferredPost(out_dev)
+                else:
+                    print(f"[simulate] width spread {spread} >= {G}; "
+                          "device postproc off for this batch")
             return uout, zout, handle, None, v_r, F_H, u_H, sig0, sig1
         state_u, state_z = _fetch()
     else:
         state_u = state_z = None
     return uout, zout, state_u, state_z, v_r, F_H, u_H, sig0, sig1
+
+
+def _assemble_post_item(pz, b, _sim, _str, _bow, _ham, string, Nx_t,
+                        fuse_keep, fuse_Nx, task, sr, save_modal):
+    """Assemble one processed training item from the device-postprocessed
+    arrays (same key schema as :func:`..tasks.process_training_data.
+    build_processed`; the parity test asserts key-set equality)."""
+    from ..ops import postproc as pp
+    from ..utils import data as udata
+
+    ut = np.asarray(pz["ut_keep"][b], np.float32)  # (Nt, K)
+    Nt = ut.shape[0]
+    uts = np.asarray(pz["uts"][b], np.float32)
+    vt = uts[1:] - uts[:-1]  # summed-velocity wav (state_to_wav, k=1)
+    gain = 1.0 / (float(pz["umax"][b]) + float(np.finfo(np.float32).eps))
+    ti = np.arange(Nt, dtype=np.float64)[:, None] / sr
+    xi = np.linspace(0, 1, fuse_Nx)
+
+    w0 = int(np.asarray(Nx_t[b]).reshape(-1)[0]) + 1
+    u0n = np.asarray(string.u0[b][:w0], np.float32)
+    u0_256 = u0n @ udata.spline_matrix(w0, fuse_Nx).T
+
+    ua_keep, uas, mode_freq, ma_keep, ua_f0 = pp.modal_target_host(
+        u0_256, string.f0[b], string.kappa[b], string.T60[b], Nt, sr,
+        fuse_keep, strict=False, synth=save_modal,
+    )
+
+    _sim = dict(_sim)
+    _sim.update(
+        ut_f0=np.asarray(pz["ut_f0"][b], np.float64),
+        mode_freq=mode_freq,
+        mode_amps=ma_keep,
+        x=xi[np.asarray(fuse_keep)][None, :],
+        t=ti,
+        ut=ut,
+        vt=vt,
+        gain=float(gain),
+    )
+    if save_modal:
+        _sim.update(ua=ua_keep, ua_f0=ua_f0)
+    _str = dict(_str)
+    _str.pop("v0", None)
+    _str.update(u0=u0_256[np.asarray(fuse_keep)][None, :])
+    _bow = dict(_bow)
+    _bow["ph0_B"] = _bow.pop("phi_0")
+    _bow["ph1_B"] = _bow.pop("phi_1")
+    _ham = dict(_ham)
+    _ham["M_H"] = _ham.pop("M_r")
+    _ham["a_H"] = _ham.pop("alpha")
+
+    overall = {}
+    overall.update(_sim)
+    overall.update(_str)
+    overall.update(_bow)
+    overall.update(_ham)
+    return overall
 
 
 def _slice_batch(obj, idx, B, cast_f64=False):
@@ -399,6 +532,7 @@ def process(
     collect_state=True,
     defer_state=False,
     mesh=None,
+    postproc_keep=None,
 ):
     """Chunked time loop (reference simulate.py:16-119).
 
@@ -415,6 +549,7 @@ def process(
             return _process_pallas(
                 state, bow, hammer, bow_mask, hammer_mask, consts, Nt, sr,
                 collect_state, defer_state=defer_state, mesh=mesh,
+                postproc_keep=postproc_keep,
             )
         except Exception as err:  # Mosaic/driver issues -> XLA engine fallback
             if os.environ.get("FDTD_REQUIRE_PALLAS") == "1":
@@ -524,6 +659,37 @@ def process(
         state_z = np.concatenate(state_rows_z, axis=1)
         if defer_state:  # uniform caller contract with the pallas path
             handle = _DeferredState(lambda: (state_u, state_z))
+            handle.post = None
+            if postproc_keep is not None and dtype == jnp.float32:
+                # engine-path twin of the pallas postproc hookup (state is
+                # host-resident here, but the batched upsample + YIN still
+                # beat the per-item host loop; double-precision verification
+                # runs keep the dtype-faithful host path)
+                from ..ops import postproc as pp
+
+                G = 32
+                spread = pp.host_widths_spread(
+                    np.asarray(state.f0, np.float32),
+                    np.asarray(state.kappa), consts.k, consts.theta_t,
+                    consts.lambda_c,
+                )
+                if spread < G:
+                    keep_idx, keep_grid = postproc_keep
+                    f0_np = np.asarray(state.f0, np.float32)
+                    out_dev = pp.postprocess_batch(
+                        jnp.asarray(
+                            state_u[:, 2:].transpose(1, 0, 2), jnp.float32
+                        ),
+                        jnp.asarray(u1_init, jnp.float32),
+                        jnp.asarray(u2_init, jnp.float32),
+                        jnp.asarray(f0_np[:, :2]),
+                        jnp.asarray(f0_np[:, 2:]),
+                        jnp.asarray(state.kappa, jnp.float32),
+                        _ostack_device(consts.M_t, keep_idx, keep_grid),
+                        k=consts.k, theta_t=consts.theta_t,
+                        lambda_c=consts.lambda_c, sr=sr, G=G,
+                    )
+                    handle.post = _DeferredPost(out_dev)
             return uout, zout, handle, None, v_r, F_H, u_H, sig0, sig1
     else:
         state_u = state_z = None
@@ -555,6 +721,7 @@ def simulate(
     rng=None,
     collect_state=True,
     defer_state=False,
+    postproc_keep=None,
 ):
     """Build instruments + run the simulation (reference simulate.py:121-217)."""
     import jax
@@ -658,6 +825,7 @@ def simulate(
         collect_state=collect_state,
         defer_state=defer_state,
         mesh=mesh,
+        postproc_keep=postproc_keep,
     )
     return results, (string, bow, hammer, [k, theta_t, lambda_c], consts), (
         bow_mask,
@@ -772,8 +940,20 @@ def run(args, save_dir, model_name, n_samples):
     fuse_stride = int(task.get("save_x_stride", 1) or 1)
     fuse_Nx = int(task.get("process_Nx", 256) or 256)
     fuse_dir = task.get("fuse_save_dir") or f"{save_dir}-prep"
+    # task.save_modal=false skips the modal target (ua wavs + ua_f0): it is
+    # only consumed by the test-time baseline comparison
+    # (tasks/synthesize.py test scores), so training-split generation drops
+    # it for ~2x fewer bytes per item
+    save_modal = bool(task.get("save_modal", True))
+    # FDTD_NO_POSTPROC=1 restores per-item native-width pulls + host
+    # preprocessing (regression/debug escape hatch)
+    fuse_keep = (
+        np.arange(0, fuse_Nx, fuse_stride)
+        if fuse and os.environ.get("FDTD_NO_POSTPROC") != "1" else None
+    )
     if fuse:
         from . import process_training_data as ptd
+        from ..ops import postproc as pp
         from ..utils import data as udata
 
         os.makedirs(fuse_dir, exist_ok=True)
@@ -825,6 +1005,9 @@ def run(args, save_dir, model_name, n_samples):
             # big state fields are pulled lazily by the writer threads so the
             # device->host link overlaps the next batch's kernel
             defer_state=True,
+            postproc_keep=(
+                (fuse_keep, fuse_Nx) if fuse_keep is not None else None
+            ),
         )
         proc_time = time.time() - st
         time_log.append(proc_time)
@@ -837,6 +1020,7 @@ def run(args, save_dir, model_name, n_samples):
         bow_mask, hammer_mask, pluck_mask = masks
 
         state_is_nan = np.isnan(uout.sum(-1))
+        rescued_set = set()  # spliced elements bypass the device postproc
         if (
             state_is_nan.any()
             and task.get("rescue_nan", True)
@@ -887,6 +1071,7 @@ def run(args, save_dir, model_name, n_samples):
                         state_u[oki] = r_su[ok].astype(state_u.dtype)
                         state_z[oki] = r_sz[ok].astype(state_z.dtype)
                 state_is_nan[oki] = False
+                rescued_set.update(int(i) for i in oki)
         uout = uout * ~state_is_nan[:, None]
         is_silent = audio.dB_RMS(uout) <= task.silence_threshold
 
@@ -984,13 +1169,7 @@ def run(args, save_dir, model_name, n_samples):
                 ms.save_simulation_data(d, excitation, overall, consts_list)
 
             if fuse:
-                w_b = int(Nx_t[b].max()) + 1
-                if isinstance(state_h, _DeferredState):
-                    ut_nat = state_h.fetch_element(b, w_b)
-                else:
-                    ut_nat = np.asarray(state_h[b, :, :w_b], np.float32)
                 _sim = dict(
-                    state_u=ut_nat,
                     uout=uout[b], zout=zout[b], v_r_out=v_r[b],
                     F_H_out=F_H[b], u_H_out=u_H[b],
                     bow_mask=bow_mask[b], hammer_mask=hammer_mask[b],
@@ -1012,14 +1191,32 @@ def run(args, save_dir, model_name, n_samples):
                     w_H=hammer.w_H[b], M_r=hammer.M_r[b],
                     alpha=hammer.alpha[b],
                 )
-                x_keep = (
-                    np.arange(0, fuse_Nx, fuse_stride)
-                    if fuse_stride > 1 else None
-                )
-                overall_p = ptd.build_processed(
-                    _sim, _str, _bow, _ham, theta_t, task.lambda_c, sr,
-                    fuse_Nx, strict=False, device_synth=False, x_keep=x_keep,
-                )
+                post_h = getattr(state_h, "post", None)
+                if post_h is not None and b not in rescued_set:
+                    # device-postprocessed fast path: the state never
+                    # crosses the link; assemble the item from the pulled
+                    # kept-column arrays + host-side modal/mode data
+                    pz = post_h.get()
+                    overall_p = _assemble_post_item(
+                        pz, b, _sim, _str, _bow, _ham, string, Nx_t,
+                        fuse_keep, fuse_Nx, task, sr, save_modal,
+                    )
+                else:
+                    w_b = int(Nx_t[b].max()) + 1
+                    if isinstance(state_h, _DeferredState):
+                        ut_nat = state_h.fetch_element(b, w_b)
+                    else:
+                        ut_nat = np.asarray(state_h[b, :, :w_b], np.float32)
+                    _sim["state_u"] = ut_nat
+                    x_keep = fuse_keep if fuse_stride > 1 else None
+                    overall_p = ptd.build_processed(
+                        _sim, _str, _bow, _ham, theta_t, task.lambda_c, sr,
+                        fuse_Nx, strict=False, device_synth=False,
+                        x_keep=x_keep,
+                    )
+                    if not save_modal:
+                        for key in ("ua", "ua_f0"):
+                            overall_p.pop(key, None)
                 udata.save(
                     os.path.join(fuse_dir, os.path.basename(d)), overall_p,
                     sr=sr,
