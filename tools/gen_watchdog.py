@@ -20,9 +20,16 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 COMMON = [
     "experiment=nsynth-like", "task.save=false", "task.plot=false",
-    "task.save_x_stride=8", "task.skip_silence=true",
-    "task.rescue_nan=false",
+    "task.skip_silence=true", "task.rescue_nan=false",
 ]
+# eval splits carry the full contract (modal baseline for test-time
+# scoring, stride 8); the train split drops the baseline and halves the
+# stored columns — only (string, x) targets + mode data feed training
+SPLIT_ARGS = {
+    "test": ["task.save_x_stride=8", "task.save_modal=true"],
+    "valid": ["task.save_x_stride=8", "task.save_modal=true"],
+    "train": ["task.save_x_stride=16", "task.save_modal=false"],
+}
 GRACE_S = 14 * 60   # first-item grace: compile + first batch + first writes
 STALL_S = 8 * 60    # afterwards: no new item dir for this long == wedged
 
@@ -39,7 +46,7 @@ def run_chunk(split, n, seed, out, log):
     dest = os.path.join(out, split)
     start = count(dest)
     cmd = [
-        sys.executable, "run.py", *COMMON,
+        sys.executable, "run.py", *COMMON, *SPLIT_ARGS.get(split, []),
         f"task.num_samples={n}", f"proc.seed={seed}",
         f"task.save_name=dmsp5k-sim-{split}-{seed}",
         f"task.fuse_save_dir={dest}",
