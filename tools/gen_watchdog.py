@@ -82,7 +82,10 @@ def fill(split, target, out, seed0):
     seed = seed0
     while count(dest) < target:
         missing = target - count(dest)
-        n = min(240, ((missing + 23) // 24) * 24)
+        # chunk cap trades process-restart overhead (~2 min startup even
+        # with a warm compile cache) against re-dispatch waste on a wedge;
+        # items are written incrementally so a killed chunk keeps its output
+        n = min(1200, ((missing + 23) // 24) * 24)
         rc, added = run_chunk(split, n, seed, out, log)
         print(f"[watchdog] {split} seed={seed} rc={rc} added={added} "
               f"total={count(dest)}/{target}", flush=True)
