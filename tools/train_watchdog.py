@@ -1,0 +1,105 @@
+"""Wedge-tolerant driver for long DMSP training runs.
+
+Same idea as gen_watchdog: the device relay occasionally wedges a single
+process's connection (every device op hangs forever).  Training writes a
+metrics.jsonl line per epoch, so progress is observable; when the file
+stops growing the process is killed and relaunched with ``task.resume=true``
+(orbax checkpoint + optstate restore, plus ``task.ckpt_every`` periodic
+saves so at most a few epochs are lost).
+
+Usage: python tools/train_watchdog.py --load-name dmsp5k --save-dir results/dmsp-train-r3 \
+          --epochs 300 [--x-stride 4] [extra run.py overrides...]
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GRACE_S = 40 * 60   # first epoch: device-cache build + upload + compile
+STALL_S = 12 * 60   # afterwards: no metrics line for this long == wedged
+
+
+def lines(path):
+    try:
+        with open(path, "rb") as f:
+            return sum(1 for _ in f)
+    except FileNotFoundError:
+        return 0
+
+
+def last_epoch(path):
+    import json
+    ep = -1
+    try:
+        with open(path) as f:
+            for ln in f:
+                try:
+                    ep = max(ep, int(json.loads(ln).get("epoch", -1)))
+                except (ValueError, KeyError):
+                    pass
+    except FileNotFoundError:
+        pass
+    return ep
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--load-name", required=True)
+    ap.add_argument("--save-dir", required=True)
+    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--x-stride", type=int, default=4)
+    ap.add_argument("extra", nargs="*")
+    a = ap.parse_args()
+    metrics = os.path.join(a.save_dir, "metrics.jsonl")
+    log = os.path.join(a.save_dir, "train_watchdog.log")
+    os.makedirs(a.save_dir, exist_ok=True)
+    attempt = 0
+    while last_epoch(metrics) < a.epochs - 1:
+        resume = "true" if attempt > 0 else "false"
+        save_name = os.path.basename(a.save_dir.rstrip("/"))
+        root_dir = os.path.dirname(a.save_dir.rstrip("/")) or "./results"
+        cmd = [
+            sys.executable, "run.py", "experiment=synth-dmsp",
+            "task.load_dir=./results", f"task.load_name={a.load_name}",
+            f"task.root_dir={root_dir}", f"task.save_name={save_name}",
+            f"task.total_epoch={a.epochs}",
+            f"task.x_stride={a.x_stride}", "task.ckpt_every=15",
+            f"task.resume={resume}", "task.plot=false", *a.extra,
+        ]
+        with open(log, "ab") as lf:
+            lf.write(f"\n=== attempt {attempt} resume={resume} "
+                     f"{time.strftime('%H:%M:%S')}\n".encode())
+            lf.flush()
+            p = subprocess.Popen(cmd, cwd=REPO, stdout=lf, stderr=lf)
+            last_n, last_t = lines(metrics), time.time()
+            first = True
+            while True:
+                rc = p.poll()
+                if rc is not None:
+                    break
+                n_now = lines(metrics)
+                if n_now > last_n:
+                    last_n, last_t, first = n_now, time.time(), False
+                budget = GRACE_S if first else STALL_S
+                if time.time() - last_t > budget:
+                    lf.write(b"[watchdog] metrics stall -> kill\n")
+                    lf.flush()
+                    p.kill()
+                    p.wait()
+                    rc = -1
+                    break
+                time.sleep(30)
+        print(f"[watchdog] attempt {attempt} rc={rc} "
+              f"epoch={last_epoch(metrics)}/{a.epochs - 1}", flush=True)
+        attempt += 1
+        if rc != 0:
+            time.sleep(30)
+    print(f"[watchdog] training complete at epoch {last_epoch(metrics)}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -497,6 +497,12 @@ def train(args, save_dir):
                     tmean.update({"epoch": epoch, "step": step, "split": "test"})
                     _log(save_dir, tmean)
             vloss = mean.get("valid/loss", float("inf"))
+            # periodic safety checkpoint independent of best-val: long runs
+            # through the flaky device relay must be resumable from a recent
+            # epoch, not just from the last validation improvement
+            ckpt_every = int(task.get("ckpt_every", 0) or 0)
+            if ckpt_every and (epoch + 1) % ckpt_every == 0:
+                save_checkpoint(save_dir, state, step)
             if vloss <= best_val:
                 best_val = vloss
                 save_checkpoint(save_dir, state, step)
