@@ -148,7 +148,15 @@ def save(dir_path, data_dict, sr=48000):
         elif key == "vt":
             wavio.write(f"{dir_path}/vt.wav", arr, sr, "PCM_24")
             rest.pop(key)
-    np.savez_compressed(f"{dir_path}/parameters.npz", **rest)
+    # np.load reads compressed and plain npz identically, so the artifact
+    # contract (reference data.py:79) is unchanged either way.  Deflate costs
+    # ~0.3 s/item of the single host core this environment has — 16x the
+    # plain write — and gates the corpus generator's writer threads, so
+    # plain is the default here; FDTD_NPZ_COMPRESS=1 restores deflate.
+    if os.environ.get("FDTD_NPZ_COMPRESS") == "1":
+        np.savez_compressed(f"{dir_path}/parameters.npz", **rest)
+    else:
+        np.savez(f"{dir_path}/parameters.npz", **rest)
 
 
 def set_length(x, size, method="pad", idx_x=None):
