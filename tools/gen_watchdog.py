@@ -79,8 +79,20 @@ def fill(split, target, out, seed0):
     """Dispatch chunks until the split holds >= target items."""
     dest = os.path.join(out, split)
     log = os.path.join(out, f"log-{split}.txt")
+    # item dir names derive from proc.seed, so replaying a seed after a
+    # driver restart re-simulates the SAME strings and overwrites existing
+    # dirs (zero net progress).  A cursor file makes restarts resume past
+    # every seed any previous driver run dispatched.
+    cursor = os.path.join(out, f"seed-cursor-{split}.txt")
+    try:
+        with open(cursor) as f:
+            seed0 = max(seed0, int(f.read().strip()) + 1)
+    except (FileNotFoundError, ValueError):
+        pass
     seed = seed0
     while count(dest) < target:
+        with open(cursor, "w") as f:
+            f.write(str(seed))
         missing = target - count(dest)
         # chunk cap trades process-restart overhead (~2 min startup even
         # with a warm compile cache) against re-dispatch waste on a wedge;
