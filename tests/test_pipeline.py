@@ -314,3 +314,42 @@ def test_fused_preprocess_matches_classic(tmp_path):
             # wav delta by the f16 rounding of the item's peak amplitude
             tol = 5e-4 * np.abs(wc).max() + 1e-7
             assert np.abs(wf - wc).max() < tol, (item, xi_f)
+
+
+def test_corpus_mode_skips_readout_artifacts(tmp_path):
+    """task.save_output_wav=false (training-corpus mode): no run-dir wav
+    triplet, no readout copies in parameters.npz — but the training keys
+    (ut wavs, mode data, params) are identical to the default fused run."""
+    import glob as g
+
+    from torch_fdtd_string_tpu.tasks import simulate as sim_task
+    from torch_fdtd_string_tpu.utils.config import compose
+
+    cfg_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "torch_fdtd_string_tpu", "configs",
+    )
+    out = tmp_path / "corpus"
+    args = compose(cfg_dir, [
+        "experiment=nsynth-like",
+        "task.num_samples=2", "task.batch_size=2", "task.length=0.1",
+        "task.chunk_length=0.1", "task.randomize_name=false",
+        "task.save_x_stride=4", "task.process_Nx=64", "proc.cpu=true",
+        "task.save=false", "task.save_modal=false",
+        "task.save_output_wav=false",
+    ])
+    os.makedirs(out, exist_ok=True)
+    sim_task.run(args, str(out), "pluck", 1)
+
+    # run dir: no per-item artifact dirs at all (only the timing log)
+    assert not g.glob(str(out) + "/0-*/output*.wav")
+    items = sorted(g.glob(str(out) + "-prep/*"))
+    assert len(items) == 2, items
+    z = np.load(os.path.join(items[0], "parameters.npz"))
+    for key in ("uout", "zout", "v_r_out", "F_H_out", "u_H_out", "ua_f0"):
+        assert key not in z.files, key
+    for key in ("ut_f0", "mode_freq", "mode_amps", "x", "t", "gain",
+                "kappa", "alpha", "f0", "T60", "u0"):
+        assert key in z.files, key
+    assert len(g.glob(items[0] + "/ut-*.wav")) == 16
+    assert os.path.exists(os.path.join(items[0], "vt.wav"))

@@ -28,7 +28,8 @@ COMMON = [
 SPLIT_ARGS = {
     "test": ["task.save_x_stride=8", "task.save_modal=true"],
     "valid": ["task.save_x_stride=8", "task.save_modal=true"],
-    "train": ["task.save_x_stride=16", "task.save_modal=false"],
+    "train": ["task.save_x_stride=16", "task.save_modal=false",
+              "task.save_output_wav=false"],
 }
 GRACE_S = 14 * 60   # first-item grace: compile + first batch + first writes
 STALL_S = 8 * 60    # afterwards: no new item dir for this long == wedged

@@ -135,6 +135,41 @@ class _DeferredPost:
         return self._val
 
 
+class _LazyArray:
+    """Device array with a memoized one-shot bulk pull.
+
+    The readout waveforms (uout/zout) are only consumed by artifact writers
+    (wav/bundle/plot); holding them on-device until a writer thread indexes
+    them moves the pull off the simulation loop's critical path — and a
+    training-corpus run (task.save_output_wav=false, task.save=false) never
+    pulls them at all.  Wraps numpy transparently (rescue-spliced batches)."""
+
+    def __init__(self, arr):
+        import threading
+
+        self._arr = arr
+        self._np = arr if isinstance(arr, np.ndarray) else None
+        self._lock = threading.Lock()
+
+    @property
+    def shape(self):
+        return self._arr.shape if self._np is None else self._np.shape
+
+    def np(self):
+        with self._lock:
+            if self._np is None:
+                self._np = _count_link(np.asarray(self._arr))
+                self._arr = None
+            return self._np
+
+    def __getitem__(self, i):
+        return self.np()[i]
+
+    def __array__(self, dtype=None):
+        a = self.np()
+        return a.astype(dtype) if dtype is not None else a
+
+
 def _pallas_eligible(consts: SimConsts, device, dtype):
     """The fused TPU kernel covers all excitations incl. MMS (f32 only;
     double-precision verification runs stay on the CPU/XLA engine)."""
@@ -170,7 +205,8 @@ def _ostack_device(M, keep, n_grid):
 
 def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
                     consts: SimConsts, Nt, sr, collect_state,
-                    defer_state=False, mesh=None, postproc_keep=None):
+                    defer_state=False, mesh=None, postproc_keep=None,
+                    defer_out=False):
     """Whole-run fused-kernel path (ops/pallas_step.py).
 
     Control signals are edge-padded up to a chunk multiple; the surplus
@@ -287,9 +323,17 @@ def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
         # alpha); FDTD_NO_KERNEL_GMRES=1 restores round-2 poison-to-host
         gmres_rescue=os.environ.get("FDTD_NO_KERNEL_GMRES") != "1",
     )
-    uout = np.asarray(uout_d)[:, :T]
-    zout = np.asarray(zout_d)[:, :T]
+    if defer_out and not (consts.has_bow or consts.has_hammer):
+        # keep the readouts on-device: writer threads pull them lazily
+        # (_LazyArray), and corpus runs that skip the wav artifacts never
+        # pull them at all
+        uout = uout_d[:, :T]
+        zout = zout_d[:, :T]
+    else:
+        uout = _count_link(np.asarray(uout_d))[:, :T]
+        zout = _count_link(np.asarray(zout_d))[:, :T]
 
+    B_out = int(uout.shape[0])
     if consts.has_bow or consts.has_hammer:
         v_r = np.asarray(aux["v_r"])[:, :T]
         F_H = np.asarray(aux["F_H"])[:, :T]
@@ -300,8 +344,8 @@ def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
         vstep = hammer.u_H[:, 1] - hammer.u_H[:, 0]
         n = np.arange(1, T + 1)[None, :]
         u_H = (uH1n[:, None] + n * vstep[:, None]) / consts.k
-        v_r = np.zeros_like(uout)
-        F_H = np.zeros_like(uout)
+        v_r = np.zeros((B_out, T), np.float32)
+        F_H = np.zeros((B_out, T), np.float32)
 
     from ..utils.audio import T60_to_sigma
 
@@ -533,6 +577,7 @@ def process(
     defer_state=False,
     mesh=None,
     postproc_keep=None,
+    defer_out=False,
 ):
     """Chunked time loop (reference simulate.py:16-119).
 
@@ -549,7 +594,7 @@ def process(
             return _process_pallas(
                 state, bow, hammer, bow_mask, hammer_mask, consts, Nt, sr,
                 collect_state, defer_state=defer_state, mesh=mesh,
-                postproc_keep=postproc_keep,
+                postproc_keep=postproc_keep, defer_out=defer_out,
             )
         except Exception as err:  # Mosaic/driver issues -> XLA engine fallback
             if os.environ.get("FDTD_REQUIRE_PALLAS") == "1":
@@ -722,6 +767,7 @@ def simulate(
     collect_state=True,
     defer_state=False,
     postproc_keep=None,
+    defer_out=False,
 ):
     """Build instruments + run the simulation (reference simulate.py:121-217)."""
     import jax
@@ -826,6 +872,7 @@ def simulate(
         defer_state=defer_state,
         mesh=mesh,
         postproc_keep=postproc_keep,
+        defer_out=defer_out,
     )
     return results, (string, bow, hammer, [k, theta_t, lambda_c], consts), (
         bow_mask,
@@ -945,6 +992,11 @@ def run(args, save_dir, model_name, n_samples):
     # (tasks/synthesize.py test scores), so training-split generation drops
     # it for ~2x fewer bytes per item
     save_modal = bool(task.get("save_modal", True))
+    # task.save_output_wav=false: pure training-corpus mode — skip the
+    # run-dir output{,-u,-z}.wav triplet AND the readout copies inside the
+    # prepared parameters.npz (no training/eval consumer reads either), so
+    # the readout waveforms never cross the device->host link
+    save_wav = bool(task.get("save_output_wav", True))
     # FDTD_NO_POSTPROC=1 restores per-item native-width pulls + host
     # preprocessing (regression/debug escape hatch)
     fuse_keep = (
@@ -1008,6 +1060,8 @@ def run(args, save_dir, model_name, n_samples):
             postproc_keep=(
                 (fuse_keep, fuse_Nx) if fuse_keep is not None else None
             ),
+            # keep readout waveforms on-device too; writers pull them lazily
+            defer_out=True,
         )
         proc_time = time.time() - st
         time_log.append(proc_time)
@@ -1019,7 +1073,9 @@ def run(args, save_dir, model_name, n_samples):
         string, bow, hammer, consts_list, sim_consts = params_out
         bow_mask, hammer_mask, pluck_mask = masks
 
-        state_is_nan = np.isnan(uout.sum(-1))
+        # uout may be a device array (defer_out); .sum runs on-device then
+        # np.isnan pulls only the (B,) reduction
+        state_is_nan = np.asarray(np.isnan(np.asarray(uout.sum(-1))))
         rescued_set = set()  # spliced elements bypass the device postproc
         if (
             state_is_nan.any()
@@ -1073,7 +1129,17 @@ def run(args, save_dir, model_name, n_samples):
                 state_is_nan[oki] = False
                 rescued_set.update(int(i) for i in oki)
         uout = uout * ~state_is_nan[:, None]
-        is_silent = audio.dB_RMS(uout) <= task.silence_threshold
+        if isinstance(uout, np.ndarray):
+            is_silent = audio.dB_RMS(uout) <= task.silence_threshold
+        else:
+            # device twin of audio.dB_RMS (f32; threshold checks are far
+            # from the -23 dB cut for real draws) -> (B,) pull only
+            import jax.numpy as _jnp
+
+            _rms_db = 20.0 * _jnp.log10(
+                _jnp.sqrt(_jnp.mean(_jnp.square(uout), axis=-1)) + 1e-12
+            )
+            is_silent = np.asarray(_rms_db <= task.silence_threshold)
 
         _, _, Nx_t, _, Nx_l, _ = [
             np.asarray(v)
@@ -1087,7 +1153,10 @@ def run(args, save_dir, model_name, n_samples):
             )
         ]
 
-        wout = uout + zout
+        # writer threads resolve the readout pulls off the critical path;
+        # corpus runs with wav/bundle/plot all disabled never pull them
+        uout = _LazyArray(uout)
+        zout = _LazyArray(zout)
 
         # default-arg binding snapshots this iteration's arrays by value so
         # the writes can overlap the next iteration's simulation
@@ -1107,15 +1176,20 @@ def run(args, save_dir, model_name, n_samples):
                     state_u, state_z = state_h.get()
                 else:
                     state_u = state_z = None
-            if task.normalize_output:
-                u_n, gain = audio.ell_infty_normalize(uout[b])
-                z_n = gain * zout[b]
-            else:
-                u_n, z_n = uout[b], zout[b]
-            os.makedirs(d, exist_ok=True)
-            wavio.write(f"{d}/output-u.wav", u_n, sr, bitrate)
-            wavio.write(f"{d}/output-z.wav", z_n, sr, bitrate)
-            wavio.write(f"{d}/output.wav", u_n + z_n, sr, bitrate)
+            # task.save_output_wav=false (training-corpus runs): the item
+            # IS the fused prepared sample; skip the run-dir wav triplet so
+            # the readout waveforms never cross the link
+            if save_wav or task.save or task.plot or task.plot_state:
+                os.makedirs(d, exist_ok=True)
+            if save_wav:
+                if task.normalize_output:
+                    u_n, gain = audio.ell_infty_normalize(uout[b])
+                    z_n = gain * zout[b]
+                else:
+                    u_n, z_n = uout[b], zout[b]
+                wavio.write(f"{d}/output-u.wav", u_n, sr, bitrate)
+                wavio.write(f"{d}/output-z.wav", z_n, sr, bitrate)
+                wavio.write(f"{d}/output.wav", u_n + z_n, sr, bitrate)
 
             if task.save:
                 overall = dict(
@@ -1170,12 +1244,19 @@ def run(args, save_dir, model_name, n_samples):
 
             if fuse:
                 _sim = dict(
-                    uout=uout[b], zout=zout[b], v_r_out=v_r[b],
-                    F_H_out=F_H[b], u_H_out=u_H[b],
                     bow_mask=bow_mask[b], hammer_mask=hammer_mask[b],
                     pluck_mask=pluck_mask[b],
                     Nx_t=Nx_t[b], Nx_l=Nx_l[b], sig0=sig0[b], sig1=sig1[b],
                 )
+                if save_wav:
+                    # readout copies in the prepared npz mirror the
+                    # reference bundle; no training/eval consumer reads
+                    # them, so corpus runs (save_output_wav=false) omit
+                    # them and never pull the readouts off the device
+                    _sim.update(
+                        uout=uout[b], zout=zout[b], v_r_out=v_r[b],
+                        F_H_out=F_H[b], u_H_out=u_H[b],
+                    )
                 _str = dict(
                     kappa=string.kappa[b], alpha=string.alpha[b],
                     u0=string.u0[b][None, :], v0=string.v0[b][None, :],
