@@ -227,6 +227,10 @@ def bench_sim(B, length, bowed, deadline, reps=3):
                 k=consts.k, theta_t=consts.theta_t, lambda_c=consts.lambda_c,
                 M_t=consts.M_t, M_l=consts.M_l, chunk=512, coupling_iters=24,
                 surface_integral=consts.surface_integral, bow=bow_d,
+                # production first-pass configuration: the GMRES branch is
+                # compiled out (untrustworthy exits poison to NaN and the
+                # task-level ladder re-runs those batches; ~2x faster steps)
+                gmres_rescue=False,
             )
 
         try:

@@ -356,7 +356,10 @@ def test_kernel_gmres_rescue_exactness():
     err_rescued = run(1, True)
     err_capped = run(1, False)
     assert err_rescued < 5e-4, err_rescued
-    assert err_capped > 10 * err_rescued, (err_capped, err_rescued)
+    # without the rescue, poison-only mode NaNs every untrustworthy
+    # cap-exit (the production first pass hands those elements to the
+    # GMRES re-run ladder in tasks/simulate.run)
+    assert np.isnan(err_capped), err_capped
 
 
 def test_kernel_f32_stable_strong_coupling():

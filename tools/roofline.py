@@ -69,7 +69,8 @@ def measure(B=256, length=0.25):
     MP = ((max(consts.M_t, consts.M_l) + 127) // 128) * 128
     kw = dict(k=consts.k, theta_t=consts.theta_t, lambda_c=consts.lambda_c,
               M_t=consts.M_t, M_l=consts.M_l, chunk=512,
-              surface_integral=True, collect_state=False, batch_block=64)
+              surface_integral=True, collect_state=False, batch_block=64,
+              gmres_rescue=False)  # production first-pass configuration
 
     def run():
         u, z, _ = string_chunked(

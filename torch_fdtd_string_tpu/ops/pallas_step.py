@@ -591,9 +591,15 @@ def _kernel(consts: KernelConsts, *refs):
                 delta_f > inner_eps * scale_f,
             )
             if not consts.gmres_rescue:
-                # poison-only mode: under-converged floor-stuck elements go
-                # NaN so the host skip/rescue machinery sees them
-                u_n = jnp.where(hope_f > 0.0, jnp.nan, u_n)
+                # poison-only mode (the production first pass): EVERY
+                # untrustworthy exit goes NaN — hopeless, non-finite, or
+                # above tolerance at the sweep cap — so the host
+                # orchestration re-runs the batch through the GMRES-enabled
+                # kernel variant (tasks/simulate.run rescue ladder).
+                # Compiling the GMRES branch out of the common path restores
+                # ~2x step throughput (the lax.cond body costs even when
+                # never taken).
+                u_n = jnp.where(bad, jnp.nan, u_n)
             zmat = jnp.zeros((B, MP), dt)
             tiny = float(np.finfo(np.float32).tiny) ** 0.5  # ~1e-19
 

@@ -206,7 +206,7 @@ def _ostack_device(M, keep, n_grid):
 def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
                     consts: SimConsts, Nt, sr, collect_state,
                     defer_state=False, mesh=None, postproc_keep=None,
-                    defer_out=False):
+                    defer_out=False, kernel_gmres=None):
     """Whole-run fused-kernel path (ops/pallas_step.py).
 
     Control signals are edge-padded up to a chunk multiple; the surplus
@@ -319,9 +319,19 @@ def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
         manufactured=consts.manufactured,
         mms_centered=consts.mms_centered,
         p_a=f32(state.p_a) if consts.manufactured else None,
-        # in-kernel GMRES exact-coupling rescue (f32 stability at high
-        # alpha); FDTD_NO_KERNEL_GMRES=1 restores round-2 poison-to-host
-        gmres_rescue=os.environ.get("FDTD_NO_KERNEL_GMRES") != "1",
+        # In-kernel GMRES exact-coupling solve (f32 stability at high
+        # alpha).  Default OFF for the first pass: compiling the rescue
+        # branch into the step costs ~2x even when never taken, so the
+        # production path poisons untrustworthy elements to NaN and the
+        # run() rescue ladder re-runs the batch through the GMRES-enabled
+        # kernel variant only when that happens.
+        # FDTD_KERNEL_GMRES_INLINE=1 restores the single-pass inline form;
+        # FDTD_NO_KERNEL_GMRES=1 disables the kernel GMRES everywhere.
+        gmres_rescue=(
+            (os.environ.get("FDTD_KERNEL_GMRES_INLINE") == "1"
+             if kernel_gmres is None else bool(kernel_gmres))
+            and os.environ.get("FDTD_NO_KERNEL_GMRES") != "1"
+        ),
     )
     if defer_out and not (consts.has_bow or consts.has_hammer):
         # keep the readouts on-device: writer threads pull them lazily
@@ -578,6 +588,7 @@ def process(
     mesh=None,
     postproc_keep=None,
     defer_out=False,
+    kernel_gmres=None,
 ):
     """Chunked time loop (reference simulate.py:16-119).
 
@@ -595,6 +606,7 @@ def process(
                 state, bow, hammer, bow_mask, hammer_mask, consts, Nt, sr,
                 collect_state, defer_state=defer_state, mesh=mesh,
                 postproc_keep=postproc_keep, defer_out=defer_out,
+                kernel_gmres=kernel_gmres,
             )
         except Exception as err:  # Mosaic/driver issues -> XLA engine fallback
             if os.environ.get("FDTD_REQUIRE_PALLAS") == "1":
@@ -1076,6 +1088,48 @@ def run(args, save_dir, model_name, n_samples):
         # uout may be a device array (defer_out); .sum runs on-device then
         # np.isnan pulls only the (B,) reduction
         state_is_nan = np.asarray(np.isnan(np.asarray(uout.sum(-1))))
+        # Rescue ladder step 1 (f32, on-TPU): the fast kernel poisons every
+        # untrustworthy coupling exit to NaN (ops/pallas_step.py poison-only
+        # mode); re-run the batch through the GMRES-enabled kernel variant,
+        # which solves the coupled system exactly (reference string.cpp:
+        # 173-175 joint-solve parity) for the poisoned elements and
+        # reproduces the healthy elements bit-identically.  Only genuinely
+        # unstable discretizations stay NaN and fall through to the f64
+        # host rescue / NaN-skip below.
+        if (
+            state_is_nan.any()
+            and not args.proc.cpu
+            and task.precision != "double"
+            and os.environ.get("FDTD_NO_KERNEL_GMRES") != "1"
+            and os.environ.get("FDTD_KERNEL_GMRES_INLINE") != "1"
+        ):
+            import jax as _jax
+
+            accel = [d for d in _jax.devices() if d.platform != "cpu"]
+            if accel and _pallas_eligible(sim_consts, accel[0], np.float32):
+                idx0 = np.nonzero(state_is_nan)[0]
+                print(
+                    f"[simulate] kernel-GMRES re-run for diverged "
+                    f"element(s) {idx0.tolist()}", flush=True,
+                )
+                Nt_r = int(task.length * sr)
+                ch_r = Nt_r if task.chunk_length < 0 else int(
+                    task.chunk_length * sr)
+                results = process(
+                    string, bow, hammer, bow_mask, hammer_mask, sim_consts,
+                    Nt_r, max(ch_r, 3), device=accel[0], save_path=None,
+                    sr=sr, skip_nan=task.skip_nan,
+                    collect_state=collect_state, defer_state=True,
+                    postproc_keep=(
+                        (fuse_keep, fuse_Nx) if fuse_keep is not None
+                        else None
+                    ),
+                    defer_out=True, kernel_gmres=True,
+                )
+                (uout, zout, state_u, state_z, v_r, F_H, u_H, sig0,
+                 sig1) = results
+                state_is_nan = np.asarray(
+                    np.isnan(np.asarray(uout.sum(-1))))
         rescued_set = set()  # spliced elements bypass the device postproc
         if (
             state_is_nan.any()
