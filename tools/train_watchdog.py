@@ -18,7 +18,9 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-GRACE_S = 40 * 60   # first epoch: device-cache build + upload + compile
+GRACE_S = 75 * 60   # first epoch: host prep-cache build (~20k item reads) +
+                    # ~4 GB f16 cache upload through the ~6 MB/s tunnel +
+                    # compile; a kill mid-build loses the whole host cache
 STALL_S = 12 * 60   # afterwards: no metrics line for this long == wedged
 
 
@@ -58,7 +60,16 @@ def main():
     os.makedirs(a.save_dir, exist_ok=True)
     attempt = 0
     while last_epoch(metrics) < a.epochs - 1:
-        resume = "true" if attempt > 0 else "false"
+        # resume only once a checkpoint actually exists: an attempt that dies
+        # before the first save (e.g. a corrupt corpus item crashing the prep
+        # scan) would otherwise crash-loop on latest_checkpoint()
+        import glob
+        has_ckpt = bool(
+            glob.glob(os.path.join(a.save_dir, "string", "*", "checkpoints",
+                                   "step_*"))
+            or glob.glob(os.path.join(a.save_dir, "checkpoints", "step_*"))
+        )
+        resume = "true" if (attempt > 0 and has_ckpt) else "false"
         save_name = os.path.basename(a.save_dir.rstrip("/"))
         root_dir = os.path.dirname(a.save_dir.rstrip("/")) or "./results"
         cmd = [

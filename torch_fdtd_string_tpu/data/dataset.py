@@ -43,6 +43,24 @@ class GenericDataset:
 
         paths = sorted(glob.glob(pattern), key=string_id)
         assert len(paths) > 0, f"[Loader] No data found: {pattern}"
+        # drop items whose parameter bundle is unreadable (a SIGKILLed
+        # generation chunk can leave a truncated npz; one bad item must not
+        # poison a 5k-string corpus scan).  Header-only open — cheap.
+        import zipfile
+
+        bad = []
+        for p in paths:
+            npz = os.path.join(os.path.dirname(p), "parameters.npz")
+            try:
+                with zipfile.ZipFile(npz):
+                    pass
+            except Exception:
+                bad.append(p)
+        if bad:
+            print(f"[Loader] WARNING: skipping {len(bad)} items with "
+                  f"corrupt/missing parameters.npz: "
+                  f"{[string_id(p) for p in bad[:8]]}...")
+            paths = [p for p in paths if p not in set(bad)]
         if Nx is None:  # auto-detect the preprocessed spatial grid size
             first_dir = os.path.dirname(paths[0])
             Nx = len(glob.glob(os.path.join(first_dir, "ut-*.wav")))

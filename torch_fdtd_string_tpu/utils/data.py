@@ -153,10 +153,16 @@ def save(dir_path, data_dict, sr=48000):
     # ~0.3 s/item of the single host core this environment has — 16x the
     # plain write — and gates the corpus generator's writer threads, so
     # plain is the default here; FDTD_NPZ_COMPRESS=1 restores deflate.
+    # atomic write: generation chunks run under timeout/watchdog kill, and a
+    # SIGKILL mid-savez leaves a truncated (BadZipFile) npz that poisons the
+    # whole corpus scan at training time — write to a temp name and rename
+    tmp_path = f"{dir_path}/.parameters.tmp.npz"  # np.savez appends .npz
+    # to names missing the suffix, so the temp name must already carry it
     if os.environ.get("FDTD_NPZ_COMPRESS") == "1":
-        np.savez_compressed(f"{dir_path}/parameters.npz", **rest)
+        np.savez_compressed(tmp_path, **rest)
     else:
-        np.savez(f"{dir_path}/parameters.npz", **rest)
+        np.savez(tmp_path, **rest)
+    os.replace(tmp_path, f"{dir_path}/parameters.npz")
 
 
 def set_length(x, size, method="pad", idx_x=None):
