@@ -210,7 +210,9 @@ def bench_sim(B, length, bowed, deadline, reps=3):
     run = None
     T = (sp.f0.shape[1] - 2) // 512 * 512
     if use_pallas:
-        from torch_fdtd_string_tpu.ops.pallas_step import string_chunked
+        from torch_fdtd_string_tpu.ops.pallas_step import (
+            string_chunked_bucketed as string_chunked,
+        )
         bow_d = None
         if bowed:
             tcut = lambda x: x[:, 2 : 2 + T]

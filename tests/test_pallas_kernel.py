@@ -399,3 +399,49 @@ def test_kernel_f32_stable_strong_coupling():
     # f32 vs f64 in the chaotic strong-coupling regime: Lyapunov-amplified
     # rounding, bounded well below O(1) trajectory divergence
     assert relerr < 5e-2, relerr
+
+
+def test_bucketed_kernel_matches_plain():
+    """Grid-size bucketing (string_chunked_bucketed) is a pure scheduling
+    optimization: outputs, aux traces and the final carry must be
+    bit-identical to the single-call kernel, including the reference's
+    allocation-coupled z live-row semantics (M_t_sem)."""
+    import jax.numpy as jnp
+    from torch_fdtd_string_tpu.ops import fdm
+    from torch_fdtd_string_tpu.ops.pallas_step import (
+        string_chunked,
+        string_chunked_bucketed,
+    )
+
+    rng = np.random.default_rng(7)
+    B, T = 32, 64
+    sr = 48000
+    k = 1.0 / sr
+    theta = 0.575
+    f0c = rng.uniform(90, 700, B).astype(np.float32)
+    f0 = np.repeat(f0c[:, None], T, axis=1)
+    kappa = rng.uniform(0.01, 0.06, B).astype(np.float32)
+    alpha = rng.uniform(1.0, 8.0, B).astype(np.float32)
+    pos = rng.uniform(0.2, 0.8, B).astype(np.float32)
+    t60 = np.stack(
+        [np.stack([np.full(B, 100.0), rng.uniform(10, 25, B)], 1),
+         np.stack([np.full(B, 2000.0), rng.uniform(8, 20, B)], 1)], 1
+    ).astype(np.float32)
+    var = fdm.get_derived_vars_np(85.0, 0.0, k, theta, 1.0, 1.0)
+    M_t, M_l = var[2] + 1, var[4] + 1
+    x = np.linspace(0, 1, M_t, dtype=np.float32)
+    u1 = np.broadcast_to(1e-3 * np.sin(np.pi * x), (B, M_t)).copy()
+    z1 = np.zeros((B, M_l), np.float32)
+    common = dict(
+        k=k, theta_t=theta, lambda_c=1.0, M_t=M_t, M_l=M_l, chunk=T,
+        batch_block=8, surface_integral=False, interpret=True,
+        gmres_rescue=False,
+    )
+    ref = string_chunked(
+        f0, kappa, alpha, pos, t60, u1, u1, z1, z1, **common)
+    got = string_chunked_bucketed(
+        f0, kappa, alpha, pos, t60, u1, u1, z1, z1, **common)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+    for c_ref, c_got in zip(ref[2]["carry"], got[2]["carry"]):
+        np.testing.assert_array_equal(np.asarray(c_ref), np.asarray(c_got))

@@ -98,6 +98,12 @@ class KernelConsts(NamedTuple):
     # the poison-only behavior (NaN -> host f64 rescue).
     gmres_rescue: bool = True
     gmres_m: int = 16  # Krylov restart size (basis lives in VMEM scratch)
+    # Semantic transverse allocation size for the z live-row count: the
+    # reference couples the longitudinal update-row count to the BATCH
+    # allocation (z rows = N_t + N_l + 2 - M_t_alloc, string.cpp), so a
+    # bucketed sub-batch running on a smaller padded width must still use
+    # the ORIGINAL caller's M_t here to stay bit-compatible.  None -> M_t.
+    M_t_sem: int | None = None
 
 
 # backwards-compatible alias
@@ -404,7 +410,8 @@ def _kernel(consts: KernelConsts, *refs):
             x_u = (jnp.clip(2.0 * itf / N_t, 0.0, 2.0) - 1.0) / 2.0
             rhs_u0 = rhs_u0 - _mms(x_u) * k**2
             rhs_z = rhs_z - _mms(jnp.full((B, MP), 0.5, dt)) * k**2
-        z_keep = jnp.clip(N_t + N_l + 2.0 - M_t, 0.0, n_l)
+        M_t_sem = M_t if consts.M_t_sem is None else consts.M_t_sem
+        z_keep = jnp.clip(N_t + N_l + 2.0 - M_t_sem, 0.0, n_l)
         rhs_z = rhs_z * (itf < z_keep).astype(dt)
 
         # ---- excitation profiles (iterate-independent parts) ---------------
@@ -822,7 +829,8 @@ def string_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
                    batch_block=64, collect_state=False,
                    bow=None, hammer=None, relative_error=4.0,
                    manufactured=False, mms_centered=False, p_a=None,
-                   coupling_fixed=0, gmres_rescue=True, gmres_m=16):
+                   coupling_fixed=0, gmres_rescue=True, gmres_m=16,
+                   M_t_sem=None):
     """Run the fused string kernel over a full (B, T) control signal.
 
     ``bow`` (optional): dict with x_b/v_b/F_b/wid (B, T) and phi_0/phi_1/
@@ -853,6 +861,7 @@ def string_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
         manufactured=bool(manufactured), mms_centered=bool(mms_centered),
         coupling_fixed=int(coupling_fixed), gmres_rescue=bool(gmres_rescue),
         gmres_m=int(gmres_m),
+        M_t_sem=None if M_t_sem is None else int(M_t_sem),
     )
     t60_flat = jnp.stack(
         [t60[:, 0, 0], t60[:, 0, 1], t60[:, 1, 0], t60[:, 1, 1]], axis=1
@@ -961,6 +970,150 @@ def string_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
         aux["state_u"] = outs[j][:, :, :M_t]
         aux["state_z"] = outs[j + 1][:, :, :M_l]
     return uout, zout, aux
+
+
+def _grid_bounds(f0_min, kappa, alpha, k, theta_t, lambda_c):
+    """Per-element upper bounds on the kernel's live grid sizes (N+1).
+
+    f64 with a 1e-6 inflation before floor() so the bound dominates the
+    kernel's in-step f32 arithmetic (a few-ULP sqrt skew) for every time
+    step; grids grow as f0 falls, so the per-element f0 minimum over the
+    whole control signal bounds the whole trajectory.
+    """
+    f0 = np.asarray(f0_min, np.float64)
+    kap = np.asarray(kappa, np.float64)
+    alp = np.asarray(alpha, np.float64)
+    gamma = 2.0 * f0
+    K = kap * gamma
+    two_t = 2.0 * theta_t - 1.0
+    h_1 = lambda_c * np.sqrt(
+        (gamma**2 * k**2 + np.sqrt(gamma**4 * k**4 + 16.0 * K**2 * k**2 * two_t))
+        / (2.0 * two_t)
+    )
+    n_t = np.floor((1.0 / h_1) * (1.0 + 1e-6))
+    h_2 = lambda_c * gamma * alp * k
+    n_l = np.floor((1.0 / h_2) * (1.0 + 1e-6))
+    return (n_t + 2.0).astype(np.int64), (n_l + 2.0).astype(np.int64)
+
+
+def string_chunked_bucketed(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
+                            M_t, M_l, batch_block=64, **kw):
+    """Grid-size-bucketed :func:`string_chunked` (same signature/results).
+
+    In a random batch the live grids scale as ~1/f0, so most elements waste
+    lanes at the batch-max padded width ``MP`` (every VPU op, PCR level and
+    gather block costs O(MP)).  This wrapper sorts elements by their
+    conservative grid bound, groups them into 128-lane width buckets, runs
+    one ``string_chunked`` per bucket at the bucket's (smaller) padded
+    width, and scatters outputs back to the original order.  Results are
+    identical: per-element live masks already handle heterogeneity inside
+    the kernel, and the reference's allocation-coupled z live-row count is
+    preserved by passing the caller's ``M_t`` as ``M_t_sem``.
+
+    Groups are padded up to a multiple of ``batch_block`` with clones of
+    their first element (dropped on reassembly) so every pallas_call hits a
+    stable compiled shape.  Falls back to a single unbucketed call when the
+    batch is small, a bucket structure wouldn't save work, or
+    ``FDTD_NO_BUCKET=1``.
+    """
+    import os as _os
+
+    B = f0.shape[0]
+    MP_glob = ((max(M_t, M_l) + 127) // 128) * 128
+    BB = min(batch_block, B)
+    if (_os.environ.get("FDTD_NO_BUCKET") == "1" or B < 2 * BB
+            or MP_glob <= 128):
+        return string_chunked(
+            f0, kappa, alpha, pos, t60, u1, u2, z1, z2,
+            M_t=M_t, M_l=M_l, batch_block=batch_block, **kw)
+
+    f0_min = np.asarray(jax.device_get(jnp.min(f0, axis=1)))
+    kap_h = np.asarray(jax.device_get(kappa)).reshape(-1)
+    alp_h = np.asarray(jax.device_get(alpha)).reshape(-1)
+    bt, bl = _grid_bounds(f0_min, kap_h, alp_h,
+                          kw["k"], kw["theta_t"], kw["lambda_c"])
+    need = np.minimum(
+        128 * ((np.maximum(bt, bl) + 127) // 128), MP_glob
+    ).astype(np.int64)
+
+    order = np.argsort(need, kind="stable")
+    need_s = need[order]
+    # contiguous groups over the sorted order; a group smaller than BB
+    # merges upward into the next (wider) bucket
+    groups = []  # (mp, index array)
+    start = 0
+    for mp in sorted(set(need_s.tolist())):
+        end = int(np.searchsorted(need_s, mp, side="right"))
+        if end - start == 0:
+            continue
+        if end - start < BB and end < B:
+            continue  # merge into the next bucket (start stays)
+        groups.append((int(mp), order[start:end]))
+        start = end
+    if len(groups) <= 1:
+        return string_chunked(
+            f0, kappa, alpha, pos, t60, u1, u2, z1, z2,
+            M_t=M_t, M_l=M_l, batch_block=batch_block, **kw)
+
+    def _take(x, idx):
+        if x is None or not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        return jnp.take(jnp.asarray(x), idx, axis=0)
+
+    # device-side reassembly: outputs stay lazy device arrays (the corpus
+    # path never pulls the readouts when save_output_wav=false; bucketing
+    # must not force a host round-trip)
+    T = f0.shape[1]
+    dtype = jnp.asarray(f0).dtype
+    collect_state = kw.get("collect_state", False)
+    has_exc = (kw.get("bow") is not None) or (kw.get("hammer") is not None)
+    uout = jnp.zeros((B, T), dtype)
+    zout = jnp.zeros((B, T), dtype)
+    carry = [jnp.zeros((B, M_t), dtype), jnp.zeros((B, M_t), dtype),
+             jnp.zeros((B, M_l), dtype), jnp.zeros((B, M_l), dtype)]
+    aux_all = {}
+    if has_exc:
+        for key in ("v_r", "F_H", "u_H"):
+            aux_all[key] = jnp.zeros((B, T), dtype)
+    if collect_state:
+        aux_all["state_u"] = jnp.zeros((T, B, M_t), dtype)
+        aux_all["state_z"] = jnp.zeros((T, B, M_l), dtype)
+
+    for mp, idx in groups:
+        n_g = len(idx)
+        n_pad = ((n_g + BB - 1) // BB) * BB
+        idx_p = np.concatenate([idx, np.repeat(idx[:1], n_pad - n_g)])
+        idx_d = jnp.asarray(idx_p)
+        idx_o = jnp.asarray(idx)
+        M_t_g = min(M_t, mp)
+        M_l_g = min(M_l, mp)
+        kw_g = dict(kw)
+        for name in ("bow", "hammer"):
+            d = kw.get(name)
+            if d is not None:
+                kw_g[name] = {kk: _take(vv, idx_d) for kk, vv in d.items()}
+        kw_g["p_a"] = _take(kw.get("p_a"), idx_d)
+        uo, zo, aux = string_chunked(
+            _take(f0, idx_d), _take(kappa, idx_d), _take(alpha, idx_d),
+            _take(pos, idx_d), _take(t60, idx_d),
+            _take(u1, idx_d)[:, :M_t_g], _take(u2, idx_d)[:, :M_t_g],
+            _take(z1, idx_d)[:, :M_l_g], _take(z2, idx_d)[:, :M_l_g],
+            M_t=M_t_g, M_l=M_l_g, M_t_sem=M_t,
+            batch_block=batch_block, **kw_g)
+        uout = uout.at[idx_o].set(uo[:n_g])
+        zout = zout.at[idx_o].set(zo[:n_g])
+        for j, c in enumerate(aux["carry"]):
+            carry[j] = carry[j].at[idx_o, : c.shape[1]].set(c[:n_g])
+        for key in ("v_r", "F_H", "u_H"):
+            if key in aux_all:
+                aux_all[key] = aux_all[key].at[idx_o].set(aux[key][:n_g])
+        if collect_state:
+            aux_all["state_u"] = aux_all["state_u"].at[:, idx_o, :M_t_g].set(
+                aux["state_u"][:, :n_g])
+            aux_all["state_z"] = aux_all["state_z"].at[:, idx_o, :M_l_g].set(
+                aux["state_z"][:, :n_g])
+    aux_all["carry"] = tuple(carry)
+    return uout, zout, aux_all
 
 
 def pluck_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, **kw):

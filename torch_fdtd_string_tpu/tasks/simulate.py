@@ -216,7 +216,7 @@ def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
     """
     import jax.numpy as jnp
 
-    from ..ops.pallas_step import string_chunked
+    from ..ops.pallas_step import string_chunked, string_chunked_bucketed
 
     chunk = 128 if collect_state else 512
     # measured on v5e: batch_block=64 is ~20% faster than 32 at B=256
@@ -255,8 +255,14 @@ def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
             uH1=uH1, uH2=uH2,
         )
 
-    call_kernel = string_chunked
+    # grid-size bucketing: a random batch's live grids scale ~1/f0, so
+    # sub-batches of high-f0 strings run at a narrower padded width (every
+    # VPU op / PCR level / gather block is O(width)); identical results
+    # (FDTD_NO_BUCKET=1 reverts).  The shard_map path stays unbucketed —
+    # group shapes would differ per device.
+    call_kernel = string_chunked_bucketed
     if mesh is not None and B % mesh.devices.size == 0:
+        call_kernel = string_chunked
         # multi-chip dataset generation: run the per-device kernel under
         # shard_map over the batch axis — embarrassingly parallel, zero
         # collectives; each chip executes its own pallas grid on B/n strings
