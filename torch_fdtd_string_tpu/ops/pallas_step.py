@@ -1081,13 +1081,20 @@ def string_chunked_bucketed(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
 
     for mp, idx in groups:
         n_g = len(idx)
-        n_pad = ((n_g + BB - 1) // BB) * BB
+        # narrow buckets afford wider batch blocks in the same VMEM budget
+        # (scratch ~ BB x MP); keeps the sequential grid short for the
+        # cheap groups.  FDTD_BB_SCALE=0 pins BB to the caller's value.
+        BB_g = BB
+        if _os.environ.get("FDTD_BB_SCALE", "1") == "1":
+            BB_g = min(BB * (MP_glob // mp), 128, n_g)
+        n_pad = ((n_g + BB_g - 1) // BB_g) * BB_g
         idx_p = np.concatenate([idx, np.repeat(idx[:1], n_pad - n_g)])
         idx_d = jnp.asarray(idx_p)
         idx_o = jnp.asarray(idx)
         M_t_g = min(M_t, mp)
         M_l_g = min(M_l, mp)
         kw_g = dict(kw)
+        kw_g["batch_block"] = BB_g
         for name in ("bow", "hammer"):
             d = kw.get(name)
             if d is not None:
@@ -1098,8 +1105,7 @@ def string_chunked_bucketed(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
             _take(pos, idx_d), _take(t60, idx_d),
             _take(u1, idx_d)[:, :M_t_g], _take(u2, idx_d)[:, :M_t_g],
             _take(z1, idx_d)[:, :M_l_g], _take(z2, idx_d)[:, :M_l_g],
-            M_t=M_t_g, M_l=M_l_g, M_t_sem=M_t,
-            batch_block=batch_block, **kw_g)
+            M_t=M_t_g, M_l=M_l_g, M_t_sem=M_t, **kw_g)
         uout = uout.at[idx_o].set(uo[:n_g])
         zout = zout.at[idx_o].set(zo[:n_g])
         for j, c in enumerate(aux["carry"]):
