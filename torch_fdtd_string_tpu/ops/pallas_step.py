@@ -1021,7 +1021,11 @@ def string_chunked_bucketed(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
     B = f0.shape[0]
     MP_glob = ((max(M_t, M_l) + 127) // 128) * 128
     BB = min(batch_block, B)
-    if (_os.environ.get("FDTD_NO_BUCKET") == "1" or B < 2 * BB
+    # minimum useful group size: below ~16 elements a group's (BB_g, MP)
+    # blocks are instruction-overhead-bound and the extra dispatch +
+    # compile outweigh the width saving
+    g_min = max(16, BB // 4)
+    if (_os.environ.get("FDTD_NO_BUCKET") == "1" or B < 2 * g_min
             or MP_glob <= 128):
         return string_chunked(
             f0, kappa, alpha, pos, t60, u1, u2, z1, z2,
@@ -1038,7 +1042,7 @@ def string_chunked_bucketed(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
 
     order = np.argsort(need, kind="stable")
     need_s = need[order]
-    # contiguous groups over the sorted order; a group smaller than BB
+    # contiguous groups over the sorted order; a group smaller than g_min
     # merges upward into the next (wider) bucket
     groups = []  # (mp, index array)
     start = 0
@@ -1046,7 +1050,7 @@ def string_chunked_bucketed(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
         end = int(np.searchsorted(need_s, mp, side="right"))
         if end - start == 0:
             continue
-        if end - start < BB and end < B:
+        if end - start < g_min and end < B:
             continue  # merge into the next bucket (start stays)
         groups.append((int(mp), order[start:end]))
         start = end
@@ -1083,10 +1087,20 @@ def string_chunked_bucketed(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
         n_g = len(idx)
         # narrow buckets afford wider batch blocks in the same VMEM budget
         # (scratch ~ BB x MP); keeps the sequential grid short for the
-        # cheap groups.  FDTD_BB_SCALE=0 pins BB to the caller's value.
-        BB_g = BB
+        # cheap groups.  BB_g is quantized to {16,32,64,128} so varying
+        # group sizes across batches reuse a bounded executable set
+        # (dataset generation would otherwise recompile per batch).
+        # FDTD_BB_SCALE=0 pins BB to the caller's value.
+        cap = BB
         if _os.environ.get("FDTD_BB_SCALE", "1") == "1":
-            BB_g = min(BB * (MP_glob // mp), 128, n_g)
+            cap = min(BB * (MP_glob // mp), 128)
+        BB_g = min(cap, n_g)
+        for q in (128, 64, 32, 16):
+            # accept a quantum if it fits the cap and wastes < half the
+            # group in clone padding
+            if q <= cap and (-n_g) % q <= max(16, n_g // 2):
+                BB_g = q
+                break
         n_pad = ((n_g + BB_g - 1) // BB_g) * BB_g
         idx_p = np.concatenate([idx, np.repeat(idx[:1], n_pad - n_g)])
         idx_d = jnp.asarray(idx_p)
