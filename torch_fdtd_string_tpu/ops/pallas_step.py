@@ -1059,41 +1059,16 @@ def string_chunked_bucketed(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
             f0, kappa, alpha, pos, t60, u1, u2, z1, z2,
             M_t=M_t, M_l=M_l, batch_block=batch_block, **kw)
 
-    def _take(x, idx):
-        if x is None or not hasattr(x, "ndim") or x.ndim == 0:
-            return x
-        return jnp.take(jnp.asarray(x), idx, axis=0)
-
-    # device-side reassembly: outputs stay lazy device arrays (the corpus
-    # path never pulls the readouts when save_output_wav=false; bucketing
-    # must not force a host round-trip)
-    T = f0.shape[1]
-    dtype = jnp.asarray(f0).dtype
-    collect_state = kw.get("collect_state", False)
-    has_exc = (kw.get("bow") is not None) or (kw.get("hammer") is not None)
-    uout = jnp.zeros((B, T), dtype)
-    zout = jnp.zeros((B, T), dtype)
-    carry = [jnp.zeros((B, M_t), dtype), jnp.zeros((B, M_t), dtype),
-             jnp.zeros((B, M_l), dtype), jnp.zeros((B, M_l), dtype)]
-    aux_all = {}
-    if has_exc:
-        for key in ("v_r", "F_H", "u_H"):
-            aux_all[key] = jnp.zeros((B, T), dtype)
-    if collect_state:
-        aux_all["state_u"] = jnp.zeros((T, B, M_t), dtype)
-        aux_all["state_z"] = jnp.zeros((T, B, M_l), dtype)
-
+    # quantize each group's batch block: narrow buckets afford wider blocks
+    # in the same VMEM budget (scratch ~ BB x MP), and snapping BB_g /
+    # n_pad to a {16,32,64,128} ladder bounds the executable set when group
+    # sizes vary across dataset-generation batches.
+    bb_scale = _os.environ.get("FDTD_BB_SCALE", "1") == "1"
+    groups_spec = []
+    idx_args = []
     for mp, idx in groups:
         n_g = len(idx)
-        # narrow buckets afford wider batch blocks in the same VMEM budget
-        # (scratch ~ BB x MP); keeps the sequential grid short for the
-        # cheap groups.  BB_g is quantized to {16,32,64,128} so varying
-        # group sizes across batches reuse a bounded executable set
-        # (dataset generation would otherwise recompile per batch).
-        # FDTD_BB_SCALE=0 pins BB to the caller's value.
-        cap = BB
-        if _os.environ.get("FDTD_BB_SCALE", "1") == "1":
-            cap = min(BB * (MP_glob // mp), 128)
+        cap = min(BB * (MP_glob // mp), 128) if bb_scale else BB
         BB_g = min(cap, n_g)
         for q in (128, 64, 32, 16):
             # accept a quantum if it fits the cap and wastes < half the
@@ -1103,37 +1078,104 @@ def string_chunked_bucketed(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
                 break
         n_pad = ((n_g + BB_g - 1) // BB_g) * BB_g
         idx_p = np.concatenate([idx, np.repeat(idx[:1], n_pad - n_g)])
-        idx_d = jnp.asarray(idx_p)
-        idx_o = jnp.asarray(idx)
-        M_t_g = min(M_t, mp)
-        M_l_g = min(M_l, mp)
-        kw_g = dict(kw)
-        kw_g["batch_block"] = BB_g
-        for name in ("bow", "hammer"):
-            d = kw.get(name)
-            if d is not None:
-                kw_g[name] = {kk: _take(vv, idx_d) for kk, vv in d.items()}
-        kw_g["p_a"] = _take(kw.get("p_a"), idx_d)
-        uo, zo, aux = string_chunked(
-            _take(f0, idx_d), _take(kappa, idx_d), _take(alpha, idx_d),
-            _take(pos, idx_d), _take(t60, idx_d),
-            _take(u1, idx_d)[:, :M_t_g], _take(u2, idx_d)[:, :M_t_g],
-            _take(z1, idx_d)[:, :M_l_g], _take(z2, idx_d)[:, :M_l_g],
-            M_t=M_t_g, M_l=M_l_g, M_t_sem=M_t, **kw_g)
-        uout = uout.at[idx_o].set(uo[:n_g])
-        zout = zout.at[idx_o].set(zo[:n_g])
-        for j, c in enumerate(aux["carry"]):
-            carry[j] = carry[j].at[idx_o, : c.shape[1]].set(c[:n_g])
-        for key in ("v_r", "F_H", "u_H"):
-            if key in aux_all:
-                aux_all[key] = aux_all[key].at[idx_o].set(aux[key][:n_g])
+        groups_spec.append((int(mp), int(n_pad), int(BB_g), int(n_g)))
+        idx_args.append((jnp.asarray(idx_p), jnp.asarray(idx)))
+
+    # ONE device dispatch for the whole gather -> per-bucket kernels ->
+    # scatter pipeline: an eager per-group loop costs ~25 relay round-trips
+    # per group (slices, pallas call, .at[].set updates), which through
+    # this environment's RPC-latency relay eats the entire width saving.
+    # The jitted executable is cached per (group structure, widths, consts).
+    arr_kw = {name: kw.pop(name, None) for name in ("bow", "hammer", "p_a")}
+    interpret = bool(kw.get("interpret", False))
+    scalar_kw = dict(kw)
+    scalar_kw.pop("batch_block", None)
+    spec = (
+        B, f0.shape[1], M_t, M_l, tuple(groups_spec),
+        tuple(sorted((k2, v2) for k2, v2 in scalar_kw.items())),
+    )
+    fn = _build_bucketed_fn(spec, interpret)
+    return fn(
+        (f0, kappa, alpha, pos, t60, u1, u2, z1, z2),
+        arr_kw, tuple(idx_args),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _build_bucketed_fn(spec, interpret):
+    """Build (and jit) the fused multi-bucket executor for one static
+    group structure.  See :func:`string_chunked_bucketed`."""
+    B, T, M_t, M_l, groups_spec, scalar_items = spec
+    scalar_kw = dict(scalar_items)
+    collect_state = scalar_kw.get("collect_state", False)
+
+    def fn(pos_args, arr_kw, idx_args):
+        f0, kappa, alpha, pos, t60, u1, u2, z1, z2 = (
+            jnp.asarray(a) for a in pos_args
+        )
+        dtype = f0.dtype
+        has_exc = (arr_kw.get("bow") is not None
+                   or arr_kw.get("hammer") is not None)
+
+        def _take(x, idx):
+            if x is None or not hasattr(x, "ndim") or x.ndim == 0:
+                return x
+            return jnp.take(jnp.asarray(x), idx, axis=0)
+
+        uout = jnp.zeros((B, T), dtype)
+        zout = jnp.zeros((B, T), dtype)
+        carry = [jnp.zeros((B, M_t), dtype), jnp.zeros((B, M_t), dtype),
+                 jnp.zeros((B, M_l), dtype), jnp.zeros((B, M_l), dtype)]
+        aux_all = {}
+        if has_exc:
+            for key in ("v_r", "F_H", "u_H"):
+                aux_all[key] = jnp.zeros((B, T), dtype)
         if collect_state:
-            aux_all["state_u"] = aux_all["state_u"].at[:, idx_o, :M_t_g].set(
-                aux["state_u"][:, :n_g])
-            aux_all["state_z"] = aux_all["state_z"].at[:, idx_o, :M_l_g].set(
-                aux["state_z"][:, :n_g])
-    aux_all["carry"] = tuple(carry)
-    return uout, zout, aux_all
+            aux_all["state_u"] = jnp.zeros((T, B, M_t), dtype)
+            aux_all["state_z"] = jnp.zeros((T, B, M_l), dtype)
+
+        for (mp, n_pad, BB_g, n_g), (idx_d, idx_o) in zip(
+                groups_spec, idx_args):
+            M_t_g = min(M_t, mp)
+            M_l_g = min(M_l, mp)
+            kw_g = dict(scalar_kw)
+            kw_g["batch_block"] = BB_g
+            for name in ("bow", "hammer"):
+                d = arr_kw.get(name)
+                if d is not None:
+                    kw_g[name] = {
+                        kk: _take(vv, idx_d) for kk, vv in d.items()
+                    }
+                else:
+                    kw_g[name] = None
+            kw_g["p_a"] = _take(arr_kw.get("p_a"), idx_d)
+            uo, zo, aux = string_chunked(
+                _take(f0, idx_d), _take(kappa, idx_d), _take(alpha, idx_d),
+                _take(pos, idx_d), _take(t60, idx_d),
+                _take(u1, idx_d)[:, :M_t_g], _take(u2, idx_d)[:, :M_t_g],
+                _take(z1, idx_d)[:, :M_l_g], _take(z2, idx_d)[:, :M_l_g],
+                M_t=M_t_g, M_l=M_l_g, M_t_sem=M_t, **kw_g)
+            uout = uout.at[idx_o].set(uo[:n_g])
+            zout = zout.at[idx_o].set(zo[:n_g])
+            for j, c in enumerate(aux["carry"]):
+                carry[j] = carry[j].at[idx_o, : c.shape[1]].set(c[:n_g])
+            for key in ("v_r", "F_H", "u_H"):
+                if key in aux_all:
+                    aux_all[key] = aux_all[key].at[idx_o].set(
+                        aux[key][:n_g])
+            if collect_state:
+                aux_all["state_u"] = (
+                    aux_all["state_u"].at[:, idx_o, :M_t_g]
+                    .set(aux["state_u"][:, :n_g]))
+                aux_all["state_z"] = (
+                    aux_all["state_z"].at[:, idx_o, :M_l_g]
+                    .set(aux["state_z"][:, :n_g]))
+        aux_all["carry"] = tuple(carry)
+        return uout, zout, aux_all
+
+    # interpret mode (CPU tests) runs eagerly: the pallas interpreter's
+    # callbacks do not need — and are slower under — an outer jit
+    return fn if interpret else jax.jit(fn)
 
 
 def pluck_chunked(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, **kw):
