@@ -484,7 +484,14 @@ def _assemble_post_item(pz, b, _sim, _str, _bow, _ham, string, Nx_t,
         _sim.update(ua=ua_keep, ua_f0=ua_f0)
     _str = dict(_str)
     _str.pop("v0", None)
-    _str.update(u0=u0_256[np.asarray(fuse_keep)][None, :])
+    # u0 is the model's IC-profile input on the FULL fuse_Nx(=256) training
+    # grid (reference process_training_data.py:193 keeps ut[0] at new_Nx;
+    # ModeEstimator derives p_x as argmax(u0)/255).  Slicing it to the
+    # saved-pickup subset like x/mode_amps corrupts that input — and with
+    # per-split save_x_stride recipes the grids even differ between train
+    # and valid, which round 3's first dmsp5k training run showed forces
+    # the mode heads to memorize (valid modefreq floor ~100x train).
+    _str.update(u0=u0_256[None, :])
     _bow = dict(_bow)
     _bow["ph0_B"] = _bow.pop("phi_0")
     _bow["ph1_B"] = _bow.pop("phi_1")
