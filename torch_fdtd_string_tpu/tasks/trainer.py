@@ -344,12 +344,24 @@ def train(args, save_dir):
     # and small enough; otherwise stream host batches (see _device_cache)
     item_len = first["target"].shape[-1]
     cache_f16 = bool(os.environ.get("FDTD_CACHE_F16"))
+    cache_gb = float(os.environ.get("FDTD_DEVICE_CACHE_GB", "6"))
     est_gb = len(trainset) * 2 * item_len * (2 if cache_f16 else 4) / 1e9
+    if not cache_f16 and est_gb > cache_gb and est_gb / 2 <= cache_gb:
+        # f32 cache misses the budget but f16 fits: take the f16 cache over
+        # the streaming path (an order of magnitude slower per step through
+        # the slow host->device link).  FDTD_CACHE_F16=0/unset only forces
+        # f32 when it fits; FDTD_NO_DEVICE_CACHE opts out entirely.
+        cache_f16, est_gb = True, est_gb / 2
+        print(f"[trainer] f32 device cache over budget -> f16 cache "
+              f"({est_gb:.1f} GB <= {cache_gb:.0f} GB)")
     cacheable = (
         (trim is None or trim >= item_len)
-        and est_gb <= float(os.environ.get("FDTD_DEVICE_CACHE_GB", "6"))
+        and est_gb <= cache_gb
         and not os.environ.get("FDTD_NO_DEVICE_CACHE")
     )
+    if not cacheable and not os.environ.get("FDTD_NO_DEVICE_CACHE"):
+        print(f"[trainer] device cache disabled (est {est_gb:.1f} GB > "
+              f"{cache_gb:.0f} GB or random trim active) -> streaming path")
     # Data-parallel mesh over all visible devices (reference trains DDP out
     # of the box, trainer.py:62-78): batches shard over the "data" axis,
     # params/opt-state replicate, and jit inserts the gradient psum (the
