@@ -47,6 +47,24 @@ def last_epoch(path):
     return ep
 
 
+def tpu_ready(timeout_s=90):
+    """Cheap pre-flight: can a fresh process list devices and run one op?
+
+    A wedged relay makes every jax compute hang; launching the real training
+    attempt then wastes ~20 min of host prep-cache loading before the backend
+    error surfaces.  Probe in a throwaway subprocess first.
+    """
+    code = ("import jax, jax.numpy as jnp;"
+            "jax.devices();"
+            "print(float(jnp.ones((8, 128)).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--load-name", required=True)
@@ -70,6 +88,10 @@ def main():
             or glob.glob(os.path.join(a.save_dir, "checkpoints", "step_*"))
         )
         resume = "true" if (attempt > 0 and has_ckpt) else "false"
+        while not tpu_ready():
+            print("[watchdog] tpu not ready (relay wedged?); waiting 60 s",
+                  flush=True)
+            time.sleep(60)
         save_name = os.path.basename(a.save_dir.rstrip("/"))
         root_dir = os.path.dirname(a.save_dir.rstrip("/")) or "./results"
         cmd = [
