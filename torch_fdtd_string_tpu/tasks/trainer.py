@@ -144,13 +144,6 @@ def use_snapshot_code(run_dir):
     return False
 
 
-def _stack_items(dataset):
-    """Collate an entire dataset into one numpy batch (host)."""
-    from ..data.dataset import _collate
-
-    return _collate([dataset[i] for i in range(len(dataset))])
-
-
 def _prefetch(iterator, depth=2):
     """Overlap host batch prep + host->device upload with device compute.
 
@@ -183,6 +176,60 @@ def _prefetch(iterator, depth=2):
         yield item
 
 
+def _build_host_cache(dataset, n_modes, block, sr, cache_path=None, drop=(),
+                      chunk=4096):
+    """Prepare the whole dataset into one host-side dict (and persist it).
+
+    Runs in bounded memory by preparing ``chunk``-item slices and
+    concatenating per key; fields listed in ``drop`` are removed BEFORE the
+    save (train() always drops ``analytic``, and at x_stride=1 it would be
+    ~15 GB of zeros on disk).  Fields whose rows are identical across items
+    (e.g. the time grid) are stored as a single row — ``_device_cache``
+    broadcasts them at gather time.  CPU-runnable: a pre-build on the host
+    (tools/prebuild_cache.py) lets a training attempt start without the
+    ~1 h dataset scan inside it.
+    """
+    from ..data.dataset import _collate
+
+    if cache_path and os.path.exists(cache_path):
+        with np.load(cache_path) as z:
+            prep = {k: z[k] for k in z.files}
+        print(f"[trainer] loaded host cache {cache_path}")
+        for k in drop:
+            prep.pop(k, None)
+        return prep
+
+    n = len(dataset)
+    parts = []
+    for lo in range(0, n, chunk):
+        items = [dataset[i] for i in range(lo, min(lo + chunk, n))]
+        p = S.prepare_batch(_collate(items), n_modes, block, sr)
+        for k in drop:
+            p.pop(k, None)
+        parts.append(p)
+        if len(parts) % 4 == 0 or lo + chunk >= n:
+            print(f"[trainer] host cache build {min(lo + chunk, n)}/{n}",
+                  flush=True)
+    prep = {}
+    for k in parts[0]:
+        rows0 = parts[0][k]
+        shared = (
+            rows0.ndim >= 2
+            and all(
+                not np.ptp(p[k], axis=0).any()
+                and np.array_equal(p[k][:1], rows0[:1])
+                for p in parts
+            )
+        )
+        prep[k] = rows0[:1] if shared else np.concatenate([p[k] for p in parts])
+    if cache_path:
+        tmp = cache_path + ".tmp.npz"
+        np.savez(tmp, **prep)
+        os.replace(tmp, cache_path)
+        print(f"[trainer] wrote host cache {cache_path}")
+    return prep
+
+
 def _device_cache(dataset, n_modes, block, sr, drop=(), cache_path=None,
                   f16=False):
     """Upload the whole (prepared) dataset to the accelerator ONCE and return
@@ -198,16 +245,7 @@ def _device_cache(dataset, n_modes, block, sr, drop=(), cache_path=None,
     import jax
     import jax.numpy as jnp
 
-    if cache_path and os.path.exists(cache_path):
-        with np.load(cache_path) as z:
-            prep = {k: z[k] for k in z.files}
-        print(f"[trainer] loaded host cache {cache_path}")
-    else:
-        prep = S.prepare_batch(_stack_items(dataset), n_modes, block, sr)
-        if cache_path:
-            np.savez(cache_path, **prep)
-    for k in drop:
-        prep.pop(k, None)
+    prep = _build_host_cache(dataset, n_modes, block, sr, cache_path, drop)
     n = len(dataset)
     shared, full = {}, {}
     # f16 mode (FDTD_CACHE_F16): store the big per-item float fields (the
@@ -217,7 +255,9 @@ def _device_cache(dataset, n_modes, block, sr, drop=(), cache_path=None,
     # reference's wav layout already imposes.
     big = 8192  # bytes/item threshold: only waveform-scale fields downcast
     for k, v in prep.items():
-        if v.ndim >= 2 and v.shape[0] == n and not np.ptp(v, axis=0).any():
+        if v.ndim >= 2 and v.shape[0] == 1 and n > 1:
+            shared[k] = jax.device_put(v)  # row-compacted in the host cache
+        elif v.ndim >= 2 and v.shape[0] == n and not np.ptp(v, axis=0).any():
             shared[k] = jax.device_put(v[:1])
         elif (f16 and v.dtype == np.float32
               and v.nbytes // max(v.shape[0], 1) >= big):
