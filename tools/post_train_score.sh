@@ -1,7 +1,7 @@
 #!/bin/bash
-# Wait for the dmsp-train-r3 watchdog run to reach its final epoch, then
-# score the BEST checkpoint on the full test split (x_stride=1: 84 strings
-# x 16 pickups = 1344 items) against the analytic-modal baseline
+# Wait for the $RUN watchdog run to reach its final epoch, then score the
+# BEST checkpoint on the full test split (x_stride=1: 84 strings x 32
+# pickups = 2688 items) against the analytic-modal baseline
 # (reference synthesize.py:385-476 semantics).  Detached-safe: run under
 # nohup; re-running skips completed stages.
 set -u
@@ -35,8 +35,8 @@ echo "[post] training complete (epoch $(last_epoch)); scoring test split"
 if [ ! -s "$RUN/score/output.txt" ]; then
   timeout 7200 python run.py experiment=synth-dmsp proc.train=false \
     proc.test=true task.load_dir=./results task.load_name=dmsp5k \
-    task.root_dir=./results task.save_name=dmsp-train-r3 task.x_stride=1 \
-    task.plot=false > "$RUN/test_score.log" 2>&1
+    task.root_dir=./results "task.save_name=$(basename "$RUN")" \
+    task.x_stride=1 task.plot=false > "$RUN/test_score.log" 2>&1
   echo "[post] scoring rc=$?"
 fi
 echo "[post] score summary:"

@@ -385,7 +385,10 @@ def train(args, save_dir):
     item_len = first["target"].shape[-1]
     cache_f16 = bool(os.environ.get("FDTD_CACHE_F16"))
     cache_gb = float(os.environ.get("FDTD_DEVICE_CACHE_GB", "6"))
-    est_gb = len(trainset) * 2 * item_len * (2 if cache_f16 else 4) / 1e9
+    # per item the audio-length target dominates; the other per-item fields
+    # (u0, f0 frames, mode tables) add ~20% ('analytic' is dropped from the
+    # cache, so it no longer counts)
+    est_gb = len(trainset) * 1.2 * item_len * (2 if cache_f16 else 4) / 1e9
     if not cache_f16 and est_gb > cache_gb and est_gb / 2 <= cache_gb:
         # f32 cache misses the budget but f16 fits: take the f16 cache over
         # the streaming path (an order of magnitude slower per step through
