@@ -364,3 +364,31 @@ def test_rde_specs_artifacts(tmp_path):
             "rde-state-fdtd-z.png", "rde.txt"} <= names
     lines = open(str(tmp_path) + "/rde.txt").read().strip().splitlines()
     assert lines[0] == "factor\trde_percent" and len(lines) == 3
+
+
+def test_summarize_mixed_headers(tmp_path, capsys):
+    """A results dir mixing two per-item string_params.txt formats (same
+    width, renamed column) must keep ONE header's rows and report the drop,
+    never merge positionally (ADVICE r2: header-tuple keying)."""
+    from torch_fdtd_string_tpu.tasks.summarize import summarize
+
+    old = ["id", "kappa", "alpha"]
+    new = ["id", "kappa", "p_x"]  # same width, different meaning
+    for i, keys in enumerate([new, new, old]):
+        d = tmp_path / f"item{i}"
+        d.mkdir()
+        with open(d / "string_params.txt", "w") as f:
+            for j, k in enumerate(keys):
+                f.write(f"{k}\t{float(i + j):.4f}\n")
+
+    stats = summarize(str(tmp_path))
+    assert stats is not None
+    out = capsys.readouterr().out
+    assert "mixed column formats" in out and "dropping 1" in out
+    # summary carries the kept (most common) header, not the dropped one
+    header = open(tmp_path / "summary.txt").readline().strip().split("\t")
+    assert header == ["stat"] + new
+    # two rows aggregated: mean of ids 0,1 = 0.5
+    mean_line = [l for l in open(tmp_path / "summary.txt")
+                 if l.startswith("mean")][0].split("\t")
+    assert abs(float(mean_line[1]) - 0.5) < 1e-6
