@@ -55,7 +55,8 @@ def tpu_ready(timeout_s=90):
     error surfaces.  Probe in a throwaway subprocess first.
     """
     code = ("import jax, jax.numpy as jnp;"
-            "jax.devices();"
+            "assert any(d.platform != 'cpu' for d in jax.devices()), "
+            "'cpu fallback, accelerator not up';"
             "print(float(jnp.ones((8, 128)).sum()))")
     try:
         r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,

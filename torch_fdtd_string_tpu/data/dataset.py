@@ -60,7 +60,8 @@ class GenericDataset:
             print(f"[Loader] WARNING: skipping {len(bad)} items with "
                   f"corrupt/missing parameters.npz: "
                   f"{[string_id(p) for p in bad[:8]]}...")
-            paths = [p for p in paths if p not in set(bad)]
+            bad_set = set(bad)
+            paths = [p for p in paths if p not in bad_set]
         if Nx is None:  # auto-detect the preprocessed spatial grid size
             first_dir = os.path.dirname(paths[0])
             Nx = len(glob.glob(os.path.join(first_dir, "ut-*.wav")))
@@ -101,16 +102,25 @@ class GenericDataset:
         keys = KEYS if linear_wave is not None else [
             k for k in KEYS if k != "ua_f0"
         ]
-        Nt = (len(linear_wave) if linear_wave is not None
-              else len(wavio.read(tgt_path)[0]))
+        # read the target once: its length picks the trim window AND its
+        # samples feed load_wav (a second disk read per item is real money
+        # on an 80k-item scan of this 1-core host)
+        tgt_wave = None
+        if linear_wave is not None:
+            Nt = len(linear_wave)
+        else:
+            tgt_wave, _ = wavio.read(tgt_path)
+            Nt = len(tgt_wave)
         if self.trim is not None and Nt > self.trim:
             st = int(self.rng.integers(Nt - self.trim))
             et = st + self.trim
             if linear_wave is not None:
                 linear_wave = linear_wave[st:et]
-            item = dutil.load_wav(tgt_path, npz_path, (st, et), keys=keys)
+            item = dutil.load_wav(tgt_path, npz_path, (st, et), keys=keys,
+                                  wav=tgt_wave)
         else:
-            item = dutil.load_wav(tgt_path, npz_path, keys=keys)
+            item = dutil.load_wav(tgt_path, npz_path, keys=keys,
+                                  wav=tgt_wave)
         if linear_wave is None:
             linear_wave = np.zeros_like(item["target"])
 

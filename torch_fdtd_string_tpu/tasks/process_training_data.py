@@ -158,6 +158,10 @@ def build_processed(_sim, _str, _bow, _ham, theta_t, lambda_c, sr, Nx,
     gain = audio.ell_infty_normalize(ut.flatten())[1]
     vt = audio.state_to_wav(ut[None])[0]
 
+    # u0 must stay on the FULL training grid (the IC input whose argmax
+    # recovers p_x); capture it before any pickup-subset slicing
+    u0_full = ut[0][None, :].copy()
+
     if x_keep is not None:
         x_keep = np.asarray(x_keep, np.int64)
         ut = ut[:, x_keep]
@@ -180,7 +184,7 @@ def build_processed(_sim, _str, _bow, _ham, theta_t, lambda_c, sr, Nx,
         vt=vt,
         gain=float(np.asarray(gain).squeeze()),
     )
-    _str.update(u0=ut[0][None, :])
+    _str.update(u0=u0_full)
     _bow["ph0_B"] = _bow.pop("phi_0")
     _bow["ph1_B"] = _bow.pop("phi_1")
     _bow["wid_B"] = _bow.pop("wid_B")

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import glob
 import os
+import threading
 import time
 
 import numpy as np
@@ -57,17 +58,24 @@ def _to_device(tree, device):
 _LINK_BYTES = 0
 
 
+_LINK_LOCK = threading.Lock()
+
+
 def link_bytes(reset=False):
     global _LINK_BYTES
-    v = _LINK_BYTES
-    if reset:
-        _LINK_BYTES = 0
+    with _LINK_LOCK:
+        v = _LINK_BYTES
+        if reset:
+            _LINK_BYTES = 0
     return v
 
 
 def _count_link(arr):
+    # writer-pool threads resolve deferred pulls concurrently; an unlocked
+    # += loses increments and under-reports the link accounting
     global _LINK_BYTES
-    _LINK_BYTES += int(getattr(arr, "nbytes", 0))
+    with _LINK_LOCK:
+        _LINK_BYTES += int(getattr(arr, "nbytes", 0))
     return arr
 
 
@@ -281,17 +289,20 @@ def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
             return P()
 
         def call_kernel(*arrs, **kw):
-            # split array leaves (sharded) from static kwargs
-            def inner(pos_arrs, bow_kw, hammer_kw):
+            # split array leaves (sharded) from static kwargs; p_a is a
+            # (B,)-shaped kw array (MMS runs) and must shard with the batch
+            def inner(pos_arrs, bow_kw, hammer_kw, p_a_kw):
                 return string_chunked(
                     *pos_arrs,
                     bow=bow_kw,
                     hammer=hammer_kw,
+                    p_a=p_a_kw,
                     **{k: v for k, v in kw.items()
-                       if k not in ("bow", "hammer")},
+                       if k not in ("bow", "hammer", "p_a")},
                 )
 
-            operands = (arrs, kw.get("bow"), kw.get("hammer"))
+            operands = (arrs, kw.get("bow"), kw.get("hammer"),
+                        kw.get("p_a"))
             in_specs = jax.tree.map(lambda x: _spec_of(x, B), operands)
             out_shape = jax.eval_shape(inner, *operands)
             out_specs = jax.tree.map(lambda x: _spec_of(x, B), out_shape)
@@ -456,6 +467,13 @@ def _assemble_post_item(pz, b, _sim, _str, _bow, _ham, string, Nx_t,
     Nt = ut.shape[0]
     uts = np.asarray(pz["uts"][b], np.float32)
     vt = uts[1:] - uts[:-1]  # summed-velocity wav (state_to_wav, k=1)
+    # NOTE gain convention: the device postproc takes max|u| over the
+    # NATIVE-width live domain; the reference (and build_processed) take it
+    # over the 256-grid upsampled field, which differs by the spline
+    # over/undershoot (~1%).  Materializing all 256 columns on device just
+    # for the max costs a (B, Nt, 256) temp at corpus batch sizes; since
+    # gain multiplies estimate and target alike per item, the scoring
+    # effect is nil.  Documented divergence (ROADMAP.md).
     gain = 1.0 / (float(pz["umax"][b]) + float(np.finfo(np.float32).eps))
     ti = np.arange(Nt, dtype=np.float64)[:, None] / sr
     xi = np.linspace(0, 1, fuse_Nx)
@@ -1189,7 +1207,23 @@ def run(args, save_dir, model_name, n_samples):
                             sz[oki] = r_sz[ok].astype(sz.dtype)
                             return su, sz
 
-                        state_u = _DeferredState(_patched)
+                        # per-element pulls stay cheap for non-rescued rows
+                        # (rescued rows are already on the host)
+                        r_rows = {int(bi): r_su[ok][j]
+                                  for j, bi in enumerate(oki)}
+
+                        def _patched_elem(b, w, orig_h=orig_h, rows=r_rows):
+                            if b in rows:
+                                return np.asarray(rows[b][:, :w], np.float32)
+                            return orig_h.fetch_element(b, w)
+
+                        state_u = _DeferredState(_patched,
+                                                 elem_fn=_patched_elem)
+                        # keep the device-postproc handle: its consumer
+                        # skips rescued elements, and dropping it would
+                        # reroute the WHOLE batch through the host
+                        # fallback (sliced-u0 items + full-state pull)
+                        state_u.post = getattr(orig_h, "post", None)
                     else:
                         state_u[oki] = r_su[ok].astype(state_u.dtype)
                         state_z[oki] = r_sz[ok].astype(state_z.dtype)

@@ -161,10 +161,14 @@ def _prefetch(iterator, depth=2):
     q = _q.Queue(maxsize=depth)
     END = object()
 
+    err = []
+
     def worker():
         try:
             for item in iterator:
                 q.put(jax.device_put(item))  # async: starts the transfer
+        except BaseException as e:  # propagate, never truncate the epoch
+            err.append(e)
         finally:
             q.put(END)
 
@@ -172,6 +176,8 @@ def _prefetch(iterator, depth=2):
     while True:
         item = q.get()
         if item is END:
+            if err:  # a worker crash must fail the epoch loudly, not
+                raise err[0]  # silently end it early
             return
         yield item
 
@@ -194,10 +200,17 @@ def _build_host_cache(dataset, n_modes, block, sr, cache_path=None, drop=(),
     if cache_path and os.path.exists(cache_path):
         with np.load(cache_path) as z:
             prep = {k: z[k] for k in z.files}
-        print(f"[trainer] loaded host cache {cache_path}")
-        for k in drop:
-            prep.pop(k, None)
-        return prep
+        # a cache prebuilt while the corpus was still filling (or against a
+        # different x_stride) has fewer rows than the dataset; gathering
+        # from it would silently train on clamped/garbage indices
+        rows = max(v.shape[0] for v in prep.values())
+        if rows == len(dataset):
+            print(f"[trainer] loaded host cache {cache_path}")
+            for k in drop:
+                prep.pop(k, None)
+            return prep
+        print(f"[trainer] STALE host cache {cache_path}: {rows} rows != "
+              f"{len(dataset)} items; rebuilding", flush=True)
 
     n = len(dataset)
     parts = []

@@ -91,8 +91,13 @@ def interpolate1d(u, xaxis, xvals, k=5):
     return spl(xvals)[None, :]
 
 
-def load_wav(wav_path, npz_path, trim=None, keys=("t", "kappa", "alpha"), gain=1.0):
-    """Load one target wav + selected parameter keys (reference data.py:9-22)."""
+def load_wav(wav_path, npz_path, trim=None, keys=("t", "kappa", "alpha"),
+             gain=1.0, wav=None):
+    """Load one target wav + selected parameter keys (reference data.py:9-22).
+
+    ``wav`` lets a caller that already read the file (e.g. to learn its
+    length before choosing a trim window) pass the samples in instead of
+    paying a second disk read per item."""
     out = {}
     res = np.load(npz_path)
     for key in keys:
@@ -100,7 +105,7 @@ def load_wav(wav_path, npz_path, trim=None, keys=("t", "kappa", "alpha"), gain=1
         if trim is not None and key == "t":
             val = val[trim[0] : trim[1]]
         out[key] = val
-    w, _ = wavio.read(wav_path)
+    w = wavio.read(wav_path)[0] if wav is None else wav
     out["target"] = gain * (w[trim[0] : trim[1]] if trim is not None else w)
     return out
 

@@ -441,13 +441,17 @@ def rde_specs(save_dir, factors, est, sim, sr, state_ms=30.0):
         m = np.asarray(stft_mag(np.asarray(w)[None], n_fft, hop))[0].T
         return 20 * np.log10(m + 1e-5), 20 * np.log10(mel @ m + 1e-5)
 
+    # one STFT per wav, reused across the mag and mel figures
+    sim_ls = [logspecs(sim["wav"][i]) for i in range(n)]
+    est_ls = [logspecs(est["wav"][i]) for i in range(n)]
+
     paths = []
     for which, key in (("mag", 0), ("mel", 1)):
         fig, ax = plt.subplots(n, 2, figsize=(5, 1.4 * n), squeeze=False)
         for i in range(n):
-            ax[i, 0].imshow(logspecs(sim["wav"][i])[key], aspect="auto",
+            ax[i, 0].imshow(sim_ls[i][key], aspect="auto",
                             origin="lower", cmap="magma", vmin=-60, vmax=30)
-            ax[i, 1].imshow(logspecs(est["wav"][i])[key], aspect="auto",
+            ax[i, 1].imshow(est_ls[i][key], aspect="auto",
                             origin="lower", cmap="magma", vmin=-60, vmax=30)
             ax[i, 0].set_ylabel(rf"$x\times{factors[i]}$")
             for j in (0, 1):
