@@ -96,16 +96,23 @@ def prepare_batch(batch, n_modes, block_size, sr):
     }
 
 
-def forward_outputs(model, variables, prep, rng, inharmonic=True):
-    """Model forward -> prediction dict for the loss registry."""
+def forward_outputs(model, variables, prep, rng, inharmonic=True,
+                    use_gt_modes=True):
+    """Model forward -> prediction dict for the loss registry.
+
+    ``use_gt_modes`` mirrors the reference's mode-input protocol: training
+    and the valid-split evaluation feed the dataset's analytic mode tables
+    (synthesize.py:306-307, 355-356); the test split synthesizes from the
+    ModeEstimator's own modes unless ``model.use_precomputed_mode``
+    (synthesize.py:409-410, validation_step dataloader_idx!=0 branch)."""
     params_in = [
         prep["xg"],
         prep["tg"],
         prep["ka"],
         prep["al"],
         prep["t60"],
-        prep["f_k"] if inharmonic else None,
-        prep["c_k"] if inharmonic else None,
+        prep["f_k"] if (inharmonic and use_gt_modes) else None,
+        prep["c_k"] if (inharmonic and use_gt_modes) else None,
     ]
     ut, (in_freq, in_coef), (ut_freq, ut_coef) = model.apply(
         variables, params_in, prep["f_0"], prep["u_0"], rngs={"noise": rng}
@@ -168,13 +175,15 @@ def make_train_step(model, tx, registry, criteria, inharmonic=True,
     return train_step
 
 
-def make_eval_step(model, registry, criteria, inharmonic=True):
+def make_eval_step(model, registry, criteria, inharmonic=True,
+                   use_gt_modes=True):
     import jax
 
     @jax.jit
     def eval_step(state: TrainState, prep, rng):
         variables = {"params": state.params, **state.constants}
-        outputs = forward_outputs(model, variables, prep, rng, inharmonic)
+        outputs = forward_outputs(model, variables, prep, rng, inharmonic,
+                                  use_gt_modes)
         _, loss_dict = compute_losses(outputs, registry, criteria)
         return outputs, loss_dict
 

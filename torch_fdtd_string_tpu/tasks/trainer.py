@@ -392,6 +392,10 @@ def train(args, save_dir):
 
     train_step = S.make_train_step(model, tx, registry, criteria, inharmonic, needs_value)
     eval_step = S.make_eval_step(model, registry, criteria, inharmonic)
+    # test split synthesizes from the ModeEstimator's modes (reference
+    # validation_step feeds [.., None, None] for dataloader_idx != 0)
+    eval_step_est = S.make_eval_step(model, registry, criteria, inharmonic,
+                                     use_gt_modes=False)
 
     # device-cache the datasets when items are deterministic (no random trim)
     # and small enough; otherwise stream host batches (see _device_cache)
@@ -555,7 +559,7 @@ def train(args, save_dir):
                         for b in test_loader
                     )
                 for prep in test_iter:
-                    _, ld = eval_step(state, prep, rng)
+                    _, ld = eval_step_est(state, prep, rng)
                     tvals.append({k: float(np.asarray(v)) for k, v in ld.items()})
                 if tvals:
                     tmean = {
@@ -622,7 +626,11 @@ def evaluate(args, save_dir):
                "constants": {k: v for k, v in variables.items() if k != "params"}}
     )
     state = S.TrainState(restored["params"], restored["constants"], None, 0, rng)
-    eval_step = S.make_eval_step(model, registry, criteria, inharmonic)
+    # reference test_step drives synthesis with the estimator's modes unless
+    # model.use_precomputed_mode (synthesize.py:409-410; dmsp.yaml: false)
+    upm = bool(args.model.get("use_precomputed_mode", False))
+    eval_step = S.make_eval_step(model, registry, criteria, inharmonic,
+                                 use_gt_modes=upm)
 
     from ..models.objective import build_metric_registry
     from .callbacks import plot_state_video, save_test_results
