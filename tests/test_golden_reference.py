@@ -211,7 +211,11 @@ def _run_ours(cfg, Nt):
 
 
 def _make_cfg(f0v, kappa, alpha, excitation, t60=20.0, p_a=0.01, p_x=0.3,
-              relative_error=4.0, B=2, sr=48000):
+              relative_error=4.0, B=2, sr=48000, f0_glide=0.0):
+    """``f0_glide`` > 0 ramps f0 linearly from f0v to f0v*(1+f0_glide) over
+    the run (upward only: the live grid shrinks inside the padded shapes
+    sized at f0v) — exercises the per-step derived-vars/mask path
+    (reference string.cpp:83-90) that constant-f0 fixtures never hit."""
     from torch_fdtd_string_tpu.ops import fdm
     from torch_fdtd_string_tpu.core.params import triangular_np
 
@@ -243,7 +247,9 @@ def _make_cfg(f0v, kappa, alpha, excitation, t60=20.0, p_a=0.01, p_x=0.3,
         kappa=np.full(B, kappa),
         alpha=np.full(B, alpha),
         p_a=np.full(B, p_a if plucked else 0.0),
-        f0=np.full((B, Nt), f0v),
+        f0=np.tile(
+            f0v * (1.0 + f0_glide * np.arange(Nt) / Nt), (B, 1)
+        ),
         pos=np.full(B, 0.4),
         T60=np.tile(np.array([[[1000.0, t60], [100.0, t60]]]), (B, 1, 1)),
         u1=u0.copy(),
