@@ -71,5 +71,5 @@ def test_fixtures_exist():
     names = {os.path.basename(p)[:-4] for p in GOLDEN}
     assert {
         "linear_pluck", "nonlinear_pluck", "hammer", "bow",
-        "strong_coupling", "glide_pluck",
+        "strong_coupling", "glide_pluck", "bow_surface",
     } <= names, names

@@ -211,7 +211,8 @@ def _run_ours(cfg, Nt):
 
 
 def _make_cfg(f0v, kappa, alpha, excitation, t60=20.0, p_a=0.01, p_x=0.3,
-              relative_error=4.0, B=2, sr=48000, f0_glide=0.0):
+              relative_error=4.0, B=2, sr=48000, f0_glide=0.0,
+              surface_integral=0.0):
     """``f0_glide`` > 0 ramps f0 linearly from f0v to f0v*(1+f0_glide) over
     the run (upward only: the live grid shrinks inside the padded shapes
     sized at f0v) — exercises the per-step derived-vars/mask path
@@ -243,7 +244,7 @@ def _make_cfg(f0v, kappa, alpha, excitation, t60=20.0, p_a=0.01, p_x=0.3,
         relative_error=relative_error,
         M_t=M_t,
         M_l=M_l,
-        surface_integral=False,
+        surface_integral=bool(surface_integral),
         kappa=np.full(B, kappa),
         alpha=np.full(B, alpha),
         p_a=np.full(B, p_a if plucked else 0.0),
