@@ -27,10 +27,34 @@ EOF
 }
 
 echo "[post] waiting for $RUN to reach epoch $((EPOCHS - 1))"
-while [ "$(last_epoch)" -lt $((EPOCHS - 1)) ]; do
+# the train watchdog writes SCORE_NOW when its --deadline-ts fires (hardware
+# window too short for the full epoch budget): score the BEST checkpoint so
+# far instead of waiting forever
+while [ "$(last_epoch)" -lt $((EPOCHS - 1)) ] && [ ! -f "$RUN/SCORE_NOW" ]; do
   sleep 120
 done
+if [ "$(last_epoch)" -lt $((EPOCHS - 1)) ]; then
+  if ! ls "$RUN"/string/*/checkpoints/step_* "$RUN"/checkpoints/step_* \
+      >/dev/null 2>&1; then
+    echo "[post] SCORE_NOW but no checkpoint exists; nothing to score"
+    exit 1
+  fi
+  echo "[post] SCORE_NOW at epoch $(last_epoch); scoring BEST so far"
+fi
 echo "[post] training complete (epoch $(last_epoch)); scoring test split"
+
+# pre-flight: don't burn the scoring timeout hanging on a wedged relay
+tpu_ready() {
+  timeout 90 python -c "import jax, jax.numpy as jnp; \
+assert any(d.platform != 'cpu' for d in jax.devices()); \
+print(float(jnp.ones((8,128)).sum()))" >/dev/null 2>&1
+}
+waited=0
+while ! tpu_ready && [ "$waited" -lt "${SCORE_WAIT_S:-3600}" ]; do
+  echo "[post] tpu not ready; waiting 60 s"
+  sleep 60
+  waited=$((waited + 60))
+done
 
 if [ ! -s "$RUN/score/output.txt" ]; then
   timeout 7200 python run.py experiment=synth-dmsp proc.train=false \

@@ -72,8 +72,28 @@ def main():
     ap.add_argument("--save-dir", required=True)
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--x-stride", type=int, default=4)
+    ap.add_argument("--deadline-ts", type=float, default=0.0,
+                    help="unix time at which training must stop so scoring "
+                         "still fits in the hardware window: the current "
+                         "attempt is killed (checkpoints survive), a "
+                         "SCORE_NOW marker is written into --save-dir for "
+                         "post_train_score.sh, and the watchdog exits "
+                         "instead of relaunching")
     ap.add_argument("extra", nargs="*")
     a = ap.parse_args()
+
+    def deadline_hit():
+        return a.deadline_ts > 0 and time.time() >= a.deadline_ts
+
+    def score_now(reason):
+        # only meaningful when something is scorable; post_train_score
+        # double-checks a checkpoint exists before honoring the marker
+        marker = os.path.join(a.save_dir, "SCORE_NOW")
+        with open(marker, "w") as f:
+            f.write(f"{reason} at {time.strftime('%H:%M:%S')} "
+                    f"epoch={last_epoch(metrics)}\n")
+        print(f"[watchdog] deadline: {reason}; wrote {marker}; exiting",
+              flush=True)
     metrics = os.path.join(a.save_dir, "metrics.jsonl")
     log = os.path.join(a.save_dir, "train_watchdog.log")
     os.makedirs(a.save_dir, exist_ok=True)
@@ -90,9 +110,15 @@ def main():
         )
         resume = "true" if (attempt > 0 and has_ckpt) else "false"
         while not tpu_ready():
+            if deadline_hit():
+                score_now("relay still wedged")
+                return
             print("[watchdog] tpu not ready (relay wedged?); waiting 60 s",
                   flush=True)
             time.sleep(60)
+        if deadline_hit():
+            score_now("no training window left")
+            return
         save_name = os.path.basename(a.save_dir.rstrip("/"))
         root_dir = os.path.dirname(a.save_dir.rstrip("/")) or "./results"
         cmd = [
@@ -117,6 +143,13 @@ def main():
                 n_now = lines(metrics)
                 if n_now > last_n:
                     last_n, last_t, first = n_now, time.time(), False
+                if deadline_hit():
+                    lf.write(b"[watchdog] deadline -> kill + score\n")
+                    lf.flush()
+                    p.kill()
+                    p.wait()
+                    score_now("training window over")
+                    return
                 budget = GRACE_S if first else STALL_S
                 if time.time() - last_t > budget:
                     lf.write(b"[watchdog] metrics stall -> kill\n")
