@@ -29,7 +29,11 @@ SPLIT_ARGS = {
     "test": ["task.save_x_stride=8", "task.save_modal=true"],
     "valid": ["task.save_x_stride=8", "task.save_modal=true"],
     "train": ["task.save_x_stride=16", "task.save_modal=false",
-              "task.save_output_wav=false"],
+              "task.save_output_wav=false",
+              # wide batches engage grid-size bucketing (B >= 2*g_min) and
+              # amortize dispatch: ~6x kernel throughput vs the reference
+              # config's GPU-memory-driven batch of 24 (perf_probe_r3)
+              "task.batch_size=96"],
 }
 GRACE_S = 14 * 60   # first-item grace: compile + first batch + first writes
 STALL_S = 8 * 60    # afterwards: no new item dir for this long == wedged
