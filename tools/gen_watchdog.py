@@ -31,9 +31,11 @@ SPLIT_ARGS = {
     "train": ["task.save_x_stride=16", "task.save_modal=false",
               "task.save_output_wav=false",
               # wide batches engage grid-size bucketing (B >= 2*g_min) and
-              # amortize dispatch: ~6x kernel throughput vs the reference
-              # config's GPU-memory-driven batch of 24 (perf_probe_r3)
-              "task.batch_size=96"],
+              # amortize dispatch (perf_probe_r3).  48 is the HBM ceiling:
+              # the fused-prep path keeps the full (Nt, B, MP) state fields
+              # on device, ~7 GB at B=48 — B=96 ResourceExhausts the 16 GB
+              # chip before the first chunk
+              "task.batch_size=48"],
 }
 GRACE_S = 14 * 60   # first-item grace: compile + first batch + first writes
 STALL_S = 8 * 60    # afterwards: no new item dir for this long == wedged

@@ -1146,6 +1146,14 @@ def run(args, save_dir, model_name, n_samples):
                 Nt_r = int(task.length * sr)
                 ch_r = Nt_r if task.chunk_length < 0 else int(
                     task.chunk_length * sr)
+                # The re-run reproduces healthy elements bit-identically, so
+                # the first pass's deferred device state is dead weight; drop
+                # every reference BEFORE dispatching or both generations of
+                # (Nt, B, MP) fields coexist in HBM (~2x peak -> OOM at the
+                # fused-prep corpus batch size)
+                del results
+                uout = zout = state_u = state_z = None
+                v_r = F_H = u_H = sig0 = sig1 = None
                 results = process(
                     string, bow, hammer, bow_mask, hammer_mask, sim_consts,
                     Nt_r, max(ch_r, 3), device=accel[0], save_path=None,
