@@ -14,4 +14,5 @@ while [ ! -f "$CACHE" ]; do sleep 60; done
 echo "[launch] prebuild cache ready at $(date -u +%H:%M:%S); starting watchdog"
 FDTD_CACHE_F16=1 FDTD_DEVICE_CACHE_GB=12 \
   python tools/train_watchdog.py --load-name dmsp5k \
-  --save-dir results/dmsp-train-r3c --epochs 80 --x-stride 1
+  --save-dir results/dmsp-train-r3c --epochs 80 --x-stride 1 \
+  --deadline-ts "${DEADLINE_TS:-0}"
