@@ -269,8 +269,10 @@ def bench_nsynth_e2e(n_samples, deadline):
     # one wide dispatch instead of four batch-24 ones: same 96-sample
     # workload (the reference config's batch=24 is a GPU-memory choice, not
     # part of the workload definition); a wide batch amortizes dispatch +
-    # transfer overhead and engages grid-size bucketing (B >= 2*BB)
-    batch = min(96, max(24, (n_samples // 24) * 24))
+    # transfer overhead and engages grid-size bucketing (B >= 2*BB).
+    # 48 is the HBM ceiling: the fused-prep path keeps the full (Nt, B, MP)
+    # state fields on device and B=96 ResourceExhausts the 16 GB chip
+    batch = min(48, max(24, (n_samples // 24) * 24))
     iters = max(n_samples // batch, 1)
     args = compose(
         CONFIG_DIR,

@@ -12,7 +12,13 @@ cd "$(dirname "$0")/.."
 CACHE=results/dmsp5k/_prep_train_40_256_48000_48000_x1.npz
 while [ ! -f "$CACHE" ]; do sleep 60; done
 echo "[launch] prebuild cache ready at $(date -u +%H:%M:%S); starting watchdog"
+# valid/test_batch_size: the experiment default (256) OOMs HBM during
+# in-train validation when the 8 GB f16 x1 device cache is resident — the
+# eval executable's MRSTFT temps at B=256 exceed the remaining headroom
+# (observed ResourceExhausted at epoch-0 validation, 2026-08-18).  64 keeps
+# the eval peak well under the train step's own footprint.
 FDTD_CACHE_F16=1 FDTD_DEVICE_CACHE_GB=12 \
   python tools/train_watchdog.py --load-name dmsp5k \
   --save-dir results/dmsp-train-r3c --epochs 80 --x-stride 1 \
-  --deadline-ts "${DEADLINE_TS:-0}"
+  --deadline-ts "${DEADLINE_TS:-0}" \
+  task.valid_batch_size=64 task.test_batch_size=64
