@@ -264,3 +264,41 @@ def test_device_cache_f16_gather(dmsp_data):
         assert b16[k].dtype == b32[k].dtype, k  # upcast back to f32
         scale = max(1e-3, float(np.abs(b32[k]).max()))
         assert np.max(np.abs(b32[k] - b16[k])) <= 2e-3 * scale, k
+
+
+def test_eval_sweep_oom_backoff():
+    """_eval_sweep halves the eval batch on HBM ResourceExhausted and
+    re-runs the whole sweep at the working size (trainer regression for the
+    valid_batch_size=256 OOM observed with a resident 8 GB device cache)."""
+    import jax
+
+    from torch_fdtd_string_tpu.tasks.trainer import _eval_sweep
+
+    calls = []
+
+    def gather(idx):
+        return np.asarray(idx)
+
+    def eval_fn(state, prep, rng):
+        calls.append(len(prep))
+        if len(prep) > 4:
+            raise jax.errors.JaxRuntimeError(
+                "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted).")
+        return {"n": len(prep)}, {"loss": float(len(prep))}
+
+    firsts = []
+    vals, bs = _eval_sweep(eval_fn, gather, n_items=10, bs=16, state=None,
+                           rng=None, on_first=lambda o: firsts.append(o["n"]))
+    assert bs == 4
+    # 16 -> OOM, 8 -> OOM, 4 -> full sweep of ceil(10/4)=3 batches
+    assert calls == [10, 8, 4, 4, 2]
+    assert [v["loss"] for v in vals] == [4.0, 4.0, 2.0]
+    # on_first ran once per restart but only the final sweep's values persist
+    assert firsts[-1] == 4
+
+    # a non-OOM error propagates
+    def eval_bad(state, prep, rng):
+        raise jax.errors.JaxRuntimeError("INTERNAL: something else")
+
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        _eval_sweep(eval_bad, gather, n_items=4, bs=2, state=None, rng=None)

@@ -303,6 +303,36 @@ def _device_cache(dataset, n_modes, block, sr, drop=(), cache_path=None,
     return gather, n
 
 
+def _eval_sweep(eval_fn, gather_fn, n_items, bs, state, rng, on_first=None):
+    """Batched eval over a device-cached split with HBM-OOM backoff.
+
+    The eval executable's scratch lives alongside the resident train cache,
+    so a too-large eval batch can ResourceExhaust at dispatch time even
+    though the train step itself fits (observed at valid_batch_size=256
+    with the 8 GB f16 x1 cache, 2026-08-18).  Gathered batches are cheap
+    and deterministic to re-produce, so on OOM the whole sweep restarts at
+    half the batch; the adapted size is returned for reuse next epoch.
+    """
+    import jax
+
+    while True:
+        try:
+            vals = []
+            for vi, i in enumerate(range(0, n_items, bs)):
+                prep = gather_fn(np.arange(i, min(i + bs, n_items)))
+                outputs, ld = eval_fn(state, prep, rng)
+                vals.append({k: float(np.asarray(v)) for k, v in ld.items()})
+                if vi == 0 and on_first is not None:
+                    on_first(outputs)
+            return vals, bs
+        except jax.errors.JaxRuntimeError as err:
+            if "RESOURCE_EXHAUSTED" not in str(err) or bs <= 1:
+                raise
+            bs //= 2
+            print(f"[trainer] eval sweep OOM; retrying at batch {bs}",
+                  flush=True)
+
+
 def train(args, save_dir):
     import jax
 
@@ -468,6 +498,7 @@ def train(args, save_dir):
     prof = Timer()
     step = start_step
     best_val = float("inf")
+    eval_bs = int(task.valid_batch_size)
     best_marker = os.path.join(_ckpt_dir(save_dir), "BEST")
     if start_step and os.path.exists(best_marker):
         # resumed runs must not demote the recorded best on their first
@@ -511,26 +542,32 @@ def train(args, save_dir):
             vals = []
             rng = jax.random.key(1234 + epoch)
             if vgather is not None:
-                vbs = task.valid_batch_size
-                valid_iter = (
-                    vgather(np.arange(i, min(i + vbs, n_valid)))
-                    for i in range(0, n_valid, vbs)
-                )
-            else:
-                valid_iter = (
-                    S.prepare_batch(b, model.n_modes, block, sr)
-                    for b in valid_loader
-                )
-            for vi, prep in enumerate(valid_iter):
-                outputs, ld = eval_step(state, prep, rng)
-                vals.append({k: float(np.asarray(v)) for k, v in ld.items()})
-                if vi == 0 and task.get("plot"):
+                def _on_first_valid(outputs):
+                    if not task.get("plot"):
+                        return
                     from .callbacks import plot_results
 
                     # slice to the plotted items BEFORE np.asarray pulls the
                     # batch across the (slow) device->host link
                     small = {k: v[:4] for k, v in outputs.items()}
                     plot_results(save_dir, "valid", small, sr, step=step)
+
+                vals, eval_bs = _eval_sweep(
+                    eval_step, vgather, n_valid, eval_bs, state, rng,
+                    on_first=_on_first_valid)
+            else:
+                valid_iter = (
+                    S.prepare_batch(b, model.n_modes, block, sr)
+                    for b in valid_loader
+                )
+                for vi, prep in enumerate(valid_iter):
+                    outputs, ld = eval_step(state, prep, rng)
+                    vals.append({k: float(np.asarray(v)) for k, v in ld.items()})
+                    if vi == 0 and task.get("plot"):
+                        from .callbacks import plot_results
+
+                        small = {k: v[:4] for k, v in outputs.items()}
+                        plot_results(save_dir, "valid", small, sr, step=step)
             mean = {
                 f"valid/{k}": float(np.mean([v[k] for v in vals]))
                 for k in vals[0]
@@ -548,19 +585,17 @@ def train(args, save_dir):
             if testset is not None:
                 tvals = []
                 if tgather is not None:
-                    vbs = task.valid_batch_size
-                    test_iter = (
-                        tgather(np.arange(i, min(i + vbs, n_test)))
-                        for i in range(0, n_test, vbs)
-                    )
+                    tvals, eval_bs = _eval_sweep(
+                        eval_step_est, tgather, n_test, eval_bs, state, rng)
                 else:
                     test_iter = (
                         S.prepare_batch(b, model.n_modes, block, sr)
                         for b in test_loader
                     )
-                for prep in test_iter:
-                    _, ld = eval_step_est(state, prep, rng)
-                    tvals.append({k: float(np.asarray(v)) for k, v in ld.items()})
+                    for prep in test_iter:
+                        _, ld = eval_step_est(state, prep, rng)
+                        tvals.append({k: float(np.asarray(v))
+                                      for k, v in ld.items()})
                 if tvals:
                     tmean = {
                         f"test/{k}": float(np.mean([v[k] for v in tvals]))
