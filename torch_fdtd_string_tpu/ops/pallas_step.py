@@ -1006,9 +1006,13 @@ def string_chunked_bucketed(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
     conservative grid bound, groups them into 128-lane width buckets, runs
     one ``string_chunked`` per bucket at the bucket's (smaller) padded
     width, and scatters outputs back to the original order.  Results are
-    identical: per-element live masks already handle heterogeneity inside
-    the kernel, and the reference's allocation-coupled z live-row count is
-    preserved by passing the caller's ``M_t`` as ``M_t_sem``.
+    numerically equivalent: per-element live masks already handle
+    heterogeneity inside the kernel, and the reference's
+    allocation-coupled z live-row count is preserved by passing the
+    caller's ``M_t`` as ``M_t_sem``; running at a narrower padded width
+    reorders f32 lane reductions at the ~1-ULP level
+    (tests/test_pallas_kernel.py::test_bucketed_kernel_matches_plain
+    bounds it at 1e-8 absolute on 1e-4-scale state).
 
     Groups are padded up to a multiple of ``batch_block`` with clones of
     their first element (dropped on reassembly) so every pallas_call hits a
@@ -1025,8 +1029,7 @@ def string_chunked_bucketed(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
     # blocks are instruction-overhead-bound and the extra dispatch +
     # compile outweigh the width saving
     g_min = max(16, BB // 4)
-    if (_os.environ.get("FDTD_NO_BUCKET") == "1" or B < 2 * g_min
-            or MP_glob <= 128):
+    if _os.environ.get("FDTD_NO_BUCKET") == "1" or MP_glob <= 128:
         return string_chunked(
             f0, kappa, alpha, pos, t60, u1, u2, z1, z2,
             M_t=M_t, M_l=M_l, batch_block=batch_block, **kw)
@@ -1040,21 +1043,29 @@ def string_chunked_bucketed(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
         128 * ((np.maximum(bt, bl) + 127) // 128), MP_glob
     ).astype(np.int64)
 
-    order = np.argsort(need, kind="stable")
-    need_s = need[order]
-    # contiguous groups over the sorted order; a group smaller than g_min
-    # merges upward into the next (wider) bucket
-    groups = []  # (mp, index array)
-    start = 0
-    for mp in sorted(set(need_s.tolist())):
-        end = int(np.searchsorted(need_s, mp, side="right"))
-        if end - start == 0:
-            continue
-        if end - start < g_min and end < B:
-            continue  # merge into the next bucket (start stays)
-        groups.append((int(mp), order[start:end]))
-        start = end
-    if len(groups) <= 1:
+    if B < 2 * g_min:
+        # too narrow to split, but the batch-max live width can still be
+        # far below the allocation width (M_t/M_l are sampler-range upper
+        # bounds): run ONE clamped group.  e.g. the reference-default B=16
+        # pluck workload fits 128 lanes while MP_glob is 384 — every VPU
+        # op, PCR level and O(ceil(MP/128)^2) gather block shrinks with it.
+        groups = [(int(need.max()), np.arange(B))]
+    else:
+        order = np.argsort(need, kind="stable")
+        need_s = need[order]
+        # contiguous groups over the sorted order; a group smaller than
+        # g_min merges upward into the next (wider) bucket
+        groups = []  # (mp, index array)
+        start = 0
+        for mp in sorted(set(need_s.tolist())):
+            end = int(np.searchsorted(need_s, mp, side="right"))
+            if end - start == 0:
+                continue
+            if end - start < g_min and end < B:
+                continue  # merge into the next bucket (start stays)
+            groups.append((int(mp), order[start:end]))
+            start = end
+    if len(groups) == 1 and groups[0][0] >= MP_glob:
         return string_chunked(
             f0, kappa, alpha, pos, t60, u1, u2, z1, z2,
             M_t=M_t, M_l=M_l, batch_block=batch_block, **kw)
