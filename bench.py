@@ -279,6 +279,10 @@ def bench_nsynth_e2e(n_samples, deadline):
         [
             "experiment=nsynth-like",
             f"task.num_samples={iters * batch}",
+            # round-3 bug: the wide batch was computed but never passed, so
+            # the run executed iters x 24 samples while the metric credited
+            # iters x 48 — the "52% attrition" was phantom samples
+            f"task.batch_size={batch}",
             "task.randomize_name=false",
         ],
     )
@@ -295,20 +299,39 @@ def bench_nsynth_e2e(n_samples, deadline):
         prep_written = 0
         if os.path.isdir(tmp + "-prep"):
             prep_written = len(os.listdir(tmp + "-prep"))
+        # per-batch attrition accounting written by the run loop — every
+        # unwritten sample must be attributable (VERDICT r3 weak #1)
+        attrition = {}
+        timing = {}
+        stats_path = os.path.join(tmp, "skip_stats.json")
+        if os.path.exists(stats_path):
+            with open(stats_path) as f:
+                stats = json.load(f)
+            if isinstance(stats, dict):
+                timing = stats.get("save_timing", {})
+                stats = stats["batches"]
+            for key in ("nan_first_pass", "rescued_kernel_gmres",
+                        "rescued_f64", "nan_final", "silent"):
+                attrition[key] = sum(s.get(key, 0) for s in stats)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(tmp + "-prep", ignore_errors=True)
-    audio_s = iters * batch * float(args.task.length)
+    # credit ONLY samples that produced artifacts: the metric is delivered
+    # dataset seconds per wall second, not compute attempted
+    n_credit = max(written, prep_written)
+    audio_s = n_credit * float(args.task.length)
     return {
         "samples": iters * batch,
         "samples_written": written,
         # fused path (task.fuse_preprocess, nsynth-like default): each item
         # is also a READY DMSP training sample (per-x wavs + parameters.npz)
         "prep_samples_written": prep_written,
+        "attrition": attrition,
+        "save_timing": timing,
         "wall_s": round(wall, 2),
         "audio_s_per_s": round(audio_s / wall, 3),
         "string_steps_per_sec": round(
-            iters * batch * (int(48000 * float(args.task.length)) - 2) / wall
+            n_credit * (int(48000 * float(args.task.length)) - 2) / wall
         ),
         # device->host state bytes: the tunnel in this environment is the
         # e2e denominator (real hosts move GB/s over PCIe)

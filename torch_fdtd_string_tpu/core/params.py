@@ -188,6 +188,12 @@ class HammerState:
     alpha: np.ndarray  # (B,)
 
 
+def _jax_x64_enabled():
+    import jax
+
+    return bool(jax.config.read("jax_enable_x64"))
+
+
 def _rand(rng, lo, hi, size, randomize_each="batch", weight=None, dtype=np.float64):
     """random_uniform with batch/iter semantics (simulator.py:89-96)."""
     if weight is None:
@@ -408,9 +414,17 @@ def sample_string(
 
     # --- initial displacement profile (simulator.py:170-203) ---
     f0_b = f0.min(axis=-1)
+    # host twin of the jnp call (eager dispatch costs minutes cold through
+    # the relay); compute dtype mirrors what jnp used to: f64 only when
+    # x64 is enabled (double-precision golden/rescue runs), else f32
+    _gd_dt = np.float64 if (
+        dtype == np.float64 and _jax_x64_enabled()
+    ) else np.float32
     nx_t = np.floor(
         np.asarray(
-            fdm.get_derived_vars(f0_b, kappa, k, theta_t, lambda_c, alpha)[2]
+            fdm.get_derived_vars_host(
+                f0_b, kappa, k, theta_t, lambda_c, alpha, dtype=_gd_dt
+            )[2]
         )
     ).astype(dtype)
     M_t = Nx_t + 1

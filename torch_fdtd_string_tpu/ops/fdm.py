@@ -77,6 +77,40 @@ def get_derived_vars_np(f0, kappa_rel, k, theta_t, lambda_c, alpha):
     return gamma, K, N_t, 1.0 / max(N_t, 1), N_l, 1.0 / max(N_l, 1)
 
 
+def get_derived_vars_host(f0, kappa_rel, k, theta_t, lambda_c, alpha,
+                          dtype=np.float32):
+    """Vectorized numpy twin of :func:`get_derived_vars` (same 6-tuple,
+    same epsilon-guarded floor, computed in the simulation dtype).
+
+    Host-side batch consumers (the parameter sampler, the run loop's
+    per-item grid sizing) must NOT call the jnp variant: outside jit each
+    of its ~10 ops dispatches eagerly to the accelerator, and through this
+    environment's relay the first-call per-op compiles cost minutes per
+    process (measured 196 s cold at B=24) for what is microseconds of
+    numpy.
+    """
+    dt = np.dtype(dtype).type
+    f0 = np.asarray(f0, dt)
+    kappa_rel = np.asarray(kappa_rel, dt)
+    alpha = np.asarray(alpha, dt)
+    gamma = dt(2.0) * f0
+    K = kappa_rel * gamma
+    two_t = dt(2.0 * theta_t - 1.0)
+    h_1 = dt(lambda_c) * np.sqrt(
+        (gamma**2 * dt(k) ** 2
+         + np.sqrt(gamma**4 * dt(k) ** 4
+                   + dt(16.0) * K**2 * dt(k) ** 2 * two_t))
+        / (dt(2.0) * two_t)
+    )
+    eps4 = dt(4.0) * np.finfo(dt).eps
+    N_t = np.floor((dt(1.0) / h_1) * (dt(1.0) + eps4))
+    h_t = dt(1.0) / N_t
+    h_2 = dt(lambda_c) * gamma * alpha * dt(k)
+    N_l = np.floor((dt(1.0) / h_2) * (dt(1.0) + eps4))
+    h_l = dt(1.0) / N_l
+    return DerivedVars(gamma, K, N_t, h_t, N_l, h_l)
+
+
 def grid_widths_np(f0, kappa_rel, k, theta_t, lambda_c, dtype=np.float32):
     """Vectorized numpy twin of :func:`get_derived_vars`'s transverse grid
     count ``N_t`` for host-side consumers (preprocessing upsampling).

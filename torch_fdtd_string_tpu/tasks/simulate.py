@@ -11,6 +11,7 @@ on disk (``output{,-u,-z}.wav``, ``simulation.npz``, ``string_params.npz``,
 from __future__ import annotations
 
 import glob
+import json
 import os
 import threading
 import time
@@ -67,6 +68,26 @@ def link_bytes(reset=False):
         v = _LINK_BYTES
         if reset:
             _LINK_BYTES = 0
+    return v
+
+
+_SAVE_T = {}
+
+
+def _acc_save_t(phase, dt):
+    """Writer-phase wall accumulator (VERDICT r3 #3: measure where the e2e
+    wall goes before optimizing it); dumped per run into skip_stats.json."""
+    with _LINK_LOCK:
+        tot, n = _SAVE_T.get(phase, (0.0, 0))
+        _SAVE_T[phase] = (tot + dt, n + 1)
+
+
+def save_timing(reset=False):
+    with _LINK_LOCK:
+        v = {k: {"total_s": round(t, 3), "n": n, "ms_each": round(t / n * 1e3, 1)}
+             for k, (t, n) in _SAVE_T.items()}
+        if reset:
+            _SAVE_T.clear()
     return v
 
 
@@ -1019,6 +1040,7 @@ def run(args, save_dir, model_name, n_samples):
 
     rng = np.random.default_rng(args.proc.seed)
     time_log = []
+    skip_stats = []
     os.makedirs(save_dir, exist_ok=True)
     # Fused simulate->dataset mode (task.fuse_preprocess): write the DMSP
     # training layout (per-x wavs + parameters.npz) directly from the run,
@@ -1119,6 +1141,14 @@ def run(args, save_dir, model_name, n_samples):
         # uout may be a device array (defer_out); .sum runs on-device then
         # np.isnan pulls only the (B,) reduction
         state_is_nan = np.asarray(np.isnan(np.asarray(uout.sum(-1))))
+        # per-batch attrition accounting (VERDICT r3 weak #1): every sample
+        # that fails to reach disk must be attributable to a named cause in
+        # skip_stats.json — never silently dropped
+        batch_stat = {
+            "it": it, "n": int(task.batch_size),
+            "nan_first_pass": int(state_is_nan.sum()),
+            "rescued_kernel_gmres": 0, "rescued_f64": 0,
+        }
         # Rescue ladder step 1 (f32, on-TPU): the fast kernel poisons every
         # untrustworthy coupling exit to NaN (ops/pallas_step.py poison-only
         # mode); re-run the batch through the GMRES-enabled kernel variant,
@@ -1167,8 +1197,11 @@ def run(args, save_dir, model_name, n_samples):
                 )
                 (uout, zout, state_u, state_z, v_r, F_H, u_H, sig0,
                  sig1) = results
+                prev_nan = state_is_nan
                 state_is_nan = np.asarray(
                     np.isnan(np.asarray(uout.sum(-1))))
+                batch_stat["rescued_kernel_gmres"] = int(
+                    (prev_nan & ~state_is_nan).sum())
         rescued_set = set()  # spliced elements bypass the device postproc
         if (
             state_is_nan.any()
@@ -1237,6 +1270,7 @@ def run(args, save_dir, model_name, n_samples):
                         state_z[oki] = r_sz[ok].astype(state_z.dtype)
                 state_is_nan[oki] = False
                 rescued_set.update(int(i) for i in oki)
+                batch_stat["rescued_f64"] = len(oki)
         uout = uout * ~state_is_nan[:, None]
         if isinstance(uout, np.ndarray):
             is_silent = audio.dB_RMS(uout) <= task.silence_threshold
@@ -1250,15 +1284,20 @@ def run(args, save_dir, model_name, n_samples):
             )
             is_silent = np.asarray(_rms_db <= task.silence_threshold)
 
+        # host twin (NOT the jnp variant: eager per-op dispatch through the
+        # relay costs minutes cold; same eps-guarded floor => same integers)
         _, _, Nx_t, _, Nx_l, _ = [
             np.asarray(v)
-            for v in fdm.get_derived_vars(
+            for v in fdm.get_derived_vars_host(
                 string.f0,
                 string.kappa[:, None],
                 1.0 / sr,
                 theta_t,
                 task.lambda_c,
                 string.alpha[:, None],
+                # f32 regardless of run precision: the jnp call this
+                # replaces ran under default-x64-off and computed f32
+                dtype=np.float32,
             )
         ]
 
@@ -1386,11 +1425,15 @@ def run(args, save_dir, model_name, n_samples):
                     # device-postprocessed fast path: the state never
                     # crosses the link; assemble the item from the pulled
                     # kept-column arrays + host-side modal/mode data
+                    t0 = time.perf_counter()
                     pz = post_h.get()
+                    _acc_save_t("pull", time.perf_counter() - t0)
+                    t0 = time.perf_counter()
                     overall_p = _assemble_post_item(
                         pz, b, _sim, _str, _bow, _ham, string, Nx_t,
                         fuse_keep, fuse_Nx, task, sr, save_modal,
                     )
+                    _acc_save_t("assemble", time.perf_counter() - t0)
                 else:
                     w_b = int(Nx_t[b].max()) + 1
                     if isinstance(state_h, _DeferredState):
@@ -1407,10 +1450,12 @@ def run(args, save_dir, model_name, n_samples):
                     if not save_modal:
                         for key in ("ua", "ua_f0"):
                             overall_p.pop(key, None)
+                t0 = time.perf_counter()
                 udata.save(
                     os.path.join(fuse_dir, os.path.basename(d)), overall_p,
                     sr=sr,
                 )
+                _acc_save_t("write", time.perf_counter() - t0)
 
             if task.plot:
                 from ..utils import plot as uplot
@@ -1442,11 +1487,26 @@ def run(args, save_dir, model_name, n_samples):
 
                 uplot.state_video(d, state_u[b, :, : int(Nx_t[b].max()) + 1], sr)
 
+        batch_stat["nan_final"] = int(state_is_nan.sum())
+        batch_stat["silent"] = int(
+            (np.asarray(is_silent) & ~state_is_nan).sum()
+        )
+        batch_stat["written"] = 0
+        skipped_detail = []
         for b in range(task.batch_size):
+            if state_is_nan[b] or (task.skip_silence and is_silent[b]):
+                skipped_detail.append({
+                    "b": int(b),
+                    "why": "nan" if state_is_nan[b] else "silent",
+                    "f0": round(float(np.asarray(string.f0)[b, 2]), 2),
+                    "alpha": round(float(np.asarray(string.alpha)[b]), 3),
+                    "p_a": round(float(np.asarray(string.p_a)[b]), 4),
+                })
             if state_is_nan[b]:
                 continue
             if task.skip_silence and is_silent[b]:
                 continue
+            batch_stat["written"] += 1
             excitation = ",".join(
                 t
                 for t, m in (
@@ -1458,7 +1518,22 @@ def run(args, save_dir, model_name, n_samples):
             )
             d = f"{save_dir}/{dx}-{b}"
             pending.append(pool.submit(_save_item, b, d, excitation))
+        if skipped_detail:
+            batch_stat["skipped"] = skipped_detail
+            print(
+                f"[simulate] batch {it}: wrote {batch_stat['written']}"
+                f"/{task.batch_size} (nan={batch_stat['nan_final']}, "
+                f"silent={batch_stat['silent']})", flush=True,
+            )
+        skip_stats.append(batch_stat)
+        with open(f"{save_dir}/skip_stats.json", "w") as f:
+            json.dump(skip_stats, f, indent=1)
     for f in pending:
         f.result()
     pool.shutdown(wait=True)
+    timing = save_timing()
+    if timing:
+        with open(f"{save_dir}/skip_stats.json", "w") as f:
+            json.dump({"batches": skip_stats, "save_timing": timing}, f,
+                      indent=1)
     return time_log
