@@ -60,7 +60,7 @@ def modal_synth_nyquist_np(freq_tv, amps, damp, sr):
     freq_tv = np.asarray(freq_tv, np.float64)
     hz = freq_tv / (2 * np.pi) * sr
     aa = (hz < sr / 2).astype(np.float32) + 1e-4
-    phase = np.cumsum(freq_tv, axis=0)
+    phase = np.add.accumulate(freq_tv, axis=0)
     tbank = np.cos(phase).astype(np.float32) * aa
     tbank *= np.asarray(damp, np.float32)[:, None]
     return tbank @ np.ascontiguousarray(np.asarray(amps, np.float32).T)

@@ -1080,13 +1080,18 @@ def string_chunked_bucketed(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
     for mp, idx in groups:
         n_g = len(idx)
         cap = min(BB * (MP_glob // mp), 128) if bb_scale else BB
-        BB_g = min(cap, n_g)
-        for q in (128, 64, 32, 16):
-            # accept a quantum if it fits the cap and wastes < half the
-            # group in clone padding
-            if q <= cap and (-n_g) % q <= max(16, n_g // 2):
-                BB_g = q
-                break
+        # Minimize the BLOCK COUNT, not the clone padding: measured per-step
+        # kernel cost is ~flat in BB over [16, 64] at fixed width (the step
+        # is sweep-bookkeeping/latency-bound, not batch-VPU-bound), so a
+        # group split into several narrow blocks pays the whole step wall
+        # per block — round 3's B=64 ran 3+ sequential BB=16 blocks and
+        # landed SLOWER than B=16 (11.8 vs 41 audio-s/s).  Among ladder
+        # quanta achieving the minimal ceil(n_g / q) block count, take the
+        # smallest (least clone padding); the {16,32,64,128} ladder still
+        # bounds the executable set across dataset-generation batches.
+        ladder = [q for q in (16, 32, 64, 128) if q <= cap] or [cap]
+        n_blocks_min = -(-n_g // ladder[-1])
+        BB_g = next(q for q in ladder if -(-n_g // q) == n_blocks_min)
         n_pad = ((n_g + BB_g - 1) // BB_g) * BB_g
         idx_p = np.concatenate([idx, np.repeat(idx[:1], n_pad - n_g)])
         groups_spec.append((int(mp), int(n_pad), int(BB_g), int(n_g)))

@@ -61,7 +61,7 @@ def sine_like(freqs, length, sr):
     t1 = np.arange(length) / sr
     t2 = np.linspace(1 / sr, length / sr, freqs.shape[-1])
     f = np.interp(t1, t2, freqs)
-    return np.sin(2 * np.pi * np.cumsum(f) / sr)
+    return np.sin(2 * np.pi * np.add.accumulate(f) / sr)
 
 
 def process(root_dir, filename, target_sr=48000, plot=True):

@@ -147,8 +147,10 @@ def save(dir_path, data_dict, sr=48000):
         if key in ("ut", "zt", "ua"):
             Nt, Nx = arr.shape
             assert min(Nt, Nx) > 1, (key, arr.shape)
-            for xi in range(Nx):
-                wavio.write(f"{dir_path}/{key}-{xi}.wav", arr[:, xi], sr, "PCM_24")
+            wavio.write_columns(
+                [f"{dir_path}/{key}-{xi}.wav" for xi in range(Nx)],
+                arr, sr, "PCM_24",
+            )
             rest.pop(key)
         elif key == "vt":
             wavio.write(f"{dir_path}/vt.wav", arr, sr, "PCM_24")

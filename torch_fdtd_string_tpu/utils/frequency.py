@@ -26,7 +26,7 @@ def yin_frame_f0(frame, sr, fmin=32.0, fmax=2000.0, threshold=0.1):
     w = frame - frame.mean()
     f = np.fft.rfft(w, 2 * n)
     acf = np.fft.irfft(f * np.conj(f))[: tau_max + 1]
-    energy = np.cumsum(w**2)
+    energy = np.add.accumulate(w**2)
     # d(tau) = r(0) + r_tau(0) - 2 acf(tau); approximate running energy
     e0 = acf[0]
     e_tau = e0 - np.concatenate([[0.0], energy[:tau_max]])
@@ -35,7 +35,7 @@ def yin_frame_f0(frame, sr, fmin=32.0, fmax=2000.0, threshold=0.1):
 
     # cumulative mean normalised difference
     cmndf = np.ones_like(d)
-    cum = np.cumsum(d[1:])
+    cum = np.add.accumulate(d[1:])
     cmndf[1:] = d[1:] * np.arange(1, len(d)) / np.where(cum == 0, 1.0, cum)
 
     tau = 0
@@ -110,14 +110,14 @@ def track_f0(wav, sr, hop_s=0.01, frame_s=0.064, fmin=32.0, fmax=2000.0,
     w = fr - fr.mean(-1, keepdims=True)
     f = np.fft.rfft(w, 2 * frame, axis=-1)
     acf = np.fft.irfft(f * np.conj(f), axis=-1)[:, : tau_max + 1]
-    energy = np.cumsum(w**2, axis=-1)
+    energy = np.add.accumulate(w**2, axis=-1)
     e0 = acf[:, 0:1]
     e_tau = e0 - np.concatenate([np.zeros_like(e0), energy[:, :tau_max]], -1)
     d = e0 + e_tau - 2.0 * acf
     d[:, 0] = 0.0
 
     ar = np.arange(tau_max + 1)
-    cum = np.cumsum(d[:, 1:], axis=-1)
+    cum = np.add.accumulate(d[:, 1:], axis=-1)
     cmndf = np.concatenate(
         [np.ones_like(e0), d[:, 1:] * ar[1:] / np.where(cum == 0, 1.0, cum)],
         axis=-1,
