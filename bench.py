@@ -118,7 +118,9 @@ def build_workload(B=16, length=1.0, sr=48000, seed=7, bowed=False):
     hm = jnp.asarray(hammer_mask)
     Nt = int(sr * length)
     steps = jnp.arange(2, Nt, dtype=jnp.int32)
-    return (carry, steps, sp, bp, hp, bm, hm, consts), B, length
+    host = (np.asarray(string.f0), np.asarray(string.kappa),
+            np.asarray(string.alpha))
+    return (carry, steps, sp, bp, hp, bm, hm, consts), B, length, host
 
 
 def probe_backend(timeout=240, retries=2):
@@ -200,7 +202,7 @@ def _timed(run, reps, deadline, label):
 def bench_sim(B, length, bowed, deadline, reps=3):
     import jax
 
-    args, B, length = build_workload(B=B, length=length, bowed=bowed)
+    args, B, length, host = build_workload(B=B, length=length, bowed=bowed)
     (carry, steps, sp, bp, hp, bm, hm, consts) = args
     label = f"{'bow' if bowed else 'pluck'}_b{B}"
 
@@ -222,6 +224,8 @@ def bench_sim(B, length, bowed, deadline, reps=3):
                 mask=bm, uH1=carry.uH1, uH2=carry.uH2,
             )
 
+        hb = (host[0][:, 2 : 2 + T], host[1], host[2])
+
         def run():
             return string_chunked(
                 sp.f0[:, 2 : 2 + T], sp.kappa, sp.alpha, sp.pos, sp.T60,
@@ -229,6 +233,7 @@ def bench_sim(B, length, bowed, deadline, reps=3):
                 k=consts.k, theta_t=consts.theta_t, lambda_c=consts.lambda_c,
                 M_t=consts.M_t, M_l=consts.M_l, chunk=512, coupling_iters=24,
                 surface_integral=consts.surface_integral, bow=bow_d,
+                host_bounds=hb,
                 # production first-pass configuration: the GMRES branch is
                 # compiled out (untrustworthy exits poison to NaN and the
                 # task-level ladder re-runs those batches; ~2x faster steps)

@@ -15,7 +15,7 @@ def test_pallas_pluck_matches_engine():
     from torch_fdtd_string_tpu.core.engine import simulate_chunk
     from torch_fdtd_string_tpu.ops.pallas_step import pluck_chunked
 
-    args, B, _ = bench.build_workload(B=4, length=0.02, seed=7)
+    args, B, _, _ = bench.build_workload(B=4, length=0.02, seed=7)
     carry, steps, sp, bp, hp, bm, hm, consts = args
     # both sides iterate their coupling loops to machine-precision
     # convergence, so they reach the same fixed point
@@ -222,7 +222,7 @@ def test_pallas_fixed_sweeps_match_adaptive():
     import bench
     from torch_fdtd_string_tpu.ops.pallas_step import string_chunked
 
-    args, B, _ = bench.build_workload(B=4, length=0.02, seed=11)
+    args, B, _, _ = bench.build_workload(B=4, length=0.02, seed=11)
     carry, steps, sp, bp, hp, bm, hm, consts = args
     T = 256
 
@@ -256,7 +256,7 @@ def test_diverged_element_does_not_poison_batch():
     import bench
     from torch_fdtd_string_tpu.ops.pallas_step import string_chunked
 
-    args, B, _ = bench.build_workload(B=16, length=0.05, seed=7)
+    args, B, _, _ = bench.build_workload(B=16, length=0.05, seed=7)
     carry, steps, sp, bp, hp, bm, hm, consts = args
     T = 1024
     sel = np.arange(1, 8)  # healthy subset (b=0 diverges around t~3.5k)
@@ -294,7 +294,7 @@ def test_pallas_trace_survives_x64_toggle():
     import bench
     from torch_fdtd_string_tpu.ops.pallas_step import string_chunked
 
-    args, B, _ = bench.build_workload(B=4, length=0.02, seed=5)
+    args, B, _, _ = bench.build_workload(B=4, length=0.02, seed=5)
     carry, steps, sp, bp, hp, bm, hm, consts = args
     T = 256
 
@@ -332,7 +332,7 @@ def test_kernel_gmres_rescue_exactness():
     from torch_fdtd_string_tpu.core.engine import simulate_chunk
     from torch_fdtd_string_tpu.ops.pallas_step import string_chunked
 
-    args, B, _ = bench.build_workload(B=4, length=0.02, seed=7)
+    args, B, _, _ = bench.build_workload(B=4, length=0.02, seed=7)
     carry, steps, sp, bp, hp, bm, hm, consts = args
     T = 160
     _, o = simulate_chunk(
@@ -448,5 +448,66 @@ def test_bucketed_kernel_matches_plain():
     np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(got[0]), **tol)
     np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(got[1]), **tol)
     for c_ref, c_got in zip(ref[2]["carry"], got[2]["carry"]):
+        # both paths return (B, M_t); the slice is defensive only
         c_got = np.asarray(c_got)[:, : c_ref.shape[1]]
         np.testing.assert_allclose(np.asarray(c_ref), c_got, **tol)
+
+
+def test_bucketed_kernel_width_clamp_narrow_batch():
+    """B < 2*g_min takes the single-clamped-group branch (the round-3 B=16
+    headline path): all-high-f0 draws whose live-width bound sits below the
+    allocation width must run at the clamped width and still match the
+    plain kernel to the bucketing tolerance (ADVICE r3: this branch shipped
+    without regression coverage — test_bucketed_kernel_matches_plain's B=32
+    takes the multi-bucket path instead)."""
+    import jax.numpy as jnp
+    from torch_fdtd_string_tpu.ops import fdm
+    from torch_fdtd_string_tpu.ops.pallas_step import (
+        string_chunked,
+        string_chunked_bucketed,
+    )
+
+    rng = np.random.default_rng(11)
+    B, T = 8, 64
+    sr = 48000
+    k = 1.0 / sr
+    theta = 0.575
+    # high-f0 draws => small live grids => need.max() < MP_glob (the
+    # allocation is sized for 85 Hz; 500+ Hz strings live in ~128 lanes)
+    f0c = rng.uniform(500, 700, B).astype(np.float32)
+    f0 = np.repeat(f0c[:, None], T, axis=1)
+    kappa = rng.uniform(0.01, 0.06, B).astype(np.float32)
+    alpha = rng.uniform(1.0, 8.0, B).astype(np.float32)
+    pos = rng.uniform(0.2, 0.8, B).astype(np.float32)
+    t60 = np.stack(
+        [np.stack([np.full(B, 100.0), rng.uniform(10, 25, B)], 1),
+         np.stack([np.full(B, 2000.0), rng.uniform(8, 20, B)], 1)], 1
+    ).astype(np.float32)
+    var = fdm.get_derived_vars_np(85.0, 0.0, k, theta, 1.0, 1.0)
+    M_t, M_l = var[2] + 1, var[4] + 1
+    x = np.linspace(0, 1, M_t, dtype=np.float32)
+    u1 = np.broadcast_to(1e-3 * np.sin(np.pi * x), (B, M_t)).copy()
+    z1 = np.zeros((B, M_l), np.float32)
+    common = dict(
+        k=k, theta_t=theta, lambda_c=1.0, M_t=M_t, M_l=M_l, chunk=T,
+        batch_block=8, surface_integral=False, interpret=True,
+        gmres_rescue=False,
+    )
+    # precondition: the clamp branch is actually taken (B < 2*g_min) and
+    # actually clamps (bound below allocation width)
+    bt, bl = __import__(
+        "torch_fdtd_string_tpu.ops.pallas_step", fromlist=["_grid_bounds"]
+    )._grid_bounds(f0c, kappa, alpha, k, theta, 1.0)
+    MP_glob = ((max(M_t, M_l) + 127) // 128) * 128
+    need_max = 128 * ((np.maximum(bt, bl).max() + 127) // 128)
+    assert B < 2 * max(16, 8 // 4) and need_max < MP_glob, (need_max, MP_glob)
+    ref = string_chunked(
+        f0, kappa, alpha, pos, t60, u1, u1, z1, z1, **common)
+    got = string_chunked_bucketed(
+        f0, kappa, alpha, pos, t60, u1, u1, z1, z1, **common)
+    tol = dict(rtol=0.0, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(got[0]), **tol)
+    np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(got[1]), **tol)
+    for c_ref, c_got in zip(ref[2]["carry"], got[2]["carry"]):
+        np.testing.assert_allclose(
+            np.asarray(c_ref), np.asarray(c_got)[:, : c_ref.shape[1]], **tol)

@@ -17,7 +17,7 @@ def test_sharded_simulation_matches_single_device():
 
     assert len(jax.devices()) >= 8
 
-    args, B, _ = bench.build_workload(B=8, length=0.01, seed=11)
+    args, B, _, _ = bench.build_workload(B=8, length=0.01, seed=11)
     carry, steps, sp, bp, hp, bm, hm, consts = args
     steps = steps[:64]
 

@@ -17,7 +17,7 @@ def test_edge_pickup_readout_matches_engine_under_glide():
     from torch_fdtd_string_tpu.core.engine import simulate_chunk
     from torch_fdtd_string_tpu.ops.pallas_step import string_chunked
 
-    args, B, _ = bench.build_workload(B=4, length=0.02, seed=11)
+    args, B, _, _ = bench.build_workload(B=4, length=0.02, seed=11)
     carry, steps, sp, bp, hp, bm, hm, consts = args
 
     # pickups hugging both boundaries (the interpolation partner node

@@ -113,7 +113,7 @@ def test_batched_gmres_rescue_isolated():
     x64_before = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", True)
     try:
-        args, B, _ = bench.build_workload(B=4, length=0.01, seed=3)
+        args, B, _, _ = bench.build_workload(B=4, length=0.01, seed=3)
         carry, steps, sp, bp, hp, bm, hm, consts = args
         f64 = lambda t: jax.tree.map(
             lambda v: jnp.asarray(v, jnp.float64)

@@ -31,7 +31,7 @@ def main():
 
     results = {}
     for B, length in ((16, 1.0), (256, 1.0)):
-        args, B_, length_ = bench.build_workload(B=B, length=length)
+        args, B_, length_, _ = bench.build_workload(B=B, length=length)
         carry, steps, sp, bp, hp, bm, hm, consts = args
 
         def run(chunk=512, **kw):

@@ -29,7 +29,7 @@ def main():
     import bench
     from torch_fdtd_string_tpu.ops.pallas_step import string_chunked_bucketed
 
-    args, _, _ = bench.build_workload(B=B, length=1.0)
+    args, _, _, _ = bench.build_workload(B=B, length=1.0)
     carry, steps, sp, bp, hp, bm, hm, consts = args
     T = (sp.f0.shape[1] - 2) // 512 * 512
 

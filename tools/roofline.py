@@ -63,7 +63,7 @@ def measure(B=256, length=0.25):
     import bench
     from torch_fdtd_string_tpu.ops.pallas_step import string_chunked
 
-    args, _, _ = bench.build_workload(B=B, length=length, seed=7)
+    args, _, _, _ = bench.build_workload(B=B, length=length, seed=7)
     carry, steps, sp, bp, hp, bm, hm, consts = args
     T = ((len(np.asarray(steps)) // 512) * 512) or 512
     MP = ((max(consts.M_t, consts.M_l) + 127) // 128) * 128

@@ -997,7 +997,8 @@ def _grid_bounds(f0_min, kappa, alpha, k, theta_t, lambda_c):
 
 
 def string_chunked_bucketed(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
-                            M_t, M_l, batch_block=64, **kw):
+                            M_t, M_l, batch_block=64, host_bounds=None,
+                            **kw):
     """Grid-size-bucketed :func:`string_chunked` (same signature/results).
 
     In a random batch the live grids scale as ~1/f0, so most elements waste
@@ -1034,9 +1035,19 @@ def string_chunked_bucketed(f0, kappa, alpha, pos, t60, u1, u2, z1, z2, *,
             f0, kappa, alpha, pos, t60, u1, u2, z1, z2,
             M_t=M_t, M_l=M_l, batch_block=batch_block, **kw)
 
-    f0_min = np.asarray(jax.device_get(jnp.min(f0, axis=1)))
-    kap_h = np.asarray(jax.device_get(kappa)).reshape(-1)
-    alp_h = np.asarray(jax.device_get(alpha)).reshape(-1)
+    if host_bounds is not None:
+        # caller-supplied host copies (the production path samples params on
+        # the host anyway): skips a device round-trip that both adds relay
+        # latency and is this environment's most wedge-prone operation
+        # (a tiny d2h sync right after process start)
+        f0_min, kap_h, alp_h = (
+            np.asarray(a, np.float32).reshape(len(a), -1).min(axis=1)
+            for a in host_bounds
+        )
+    else:
+        f0_min = np.asarray(jax.device_get(jnp.min(f0, axis=1)))
+        kap_h = np.asarray(jax.device_get(kappa)).reshape(-1)
+        alp_h = np.asarray(jax.device_get(alpha)).reshape(-1)
     bt, bl = _grid_bounds(f0_min, kap_h, alp_h,
                           kw["k"], kw["theta_t"], kw["lambda_c"])
     need = np.minimum(

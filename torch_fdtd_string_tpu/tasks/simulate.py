@@ -332,6 +332,14 @@ def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
                 check_rep=False,
             )(*operands)
 
+    kernel_extra = {}
+    if call_kernel is string_chunked_bucketed:
+        # host copies for the bucketing grid bounds (skips a wedge-prone
+        # tiny d2h sync; the sampler produced these on the host)
+        kernel_extra["host_bounds"] = (
+            np.asarray(state.f0)[:, 2:Nt], np.asarray(state.kappa),
+            np.asarray(state.alpha),
+        )
     uout_d, zout_d, aux = call_kernel(
         f0,
         f32(state.kappa),
@@ -370,6 +378,7 @@ def _process_pallas(state, bow, hammer, bow_mask, hammer_mask,
              if kernel_gmres is None else bool(kernel_gmres))
             and os.environ.get("FDTD_NO_KERNEL_GMRES") != "1"
         ),
+        **kernel_extra,
     )
     if defer_out and not (consts.has_bow or consts.has_hammer):
         # keep the readouts on-device: writer threads pull them lazily
@@ -1074,6 +1083,17 @@ def run(args, save_dir, model_name, n_samples):
         from ..utils import data as udata
 
         os.makedirs(fuse_dir, exist_ok=True)
+        # provenance line per generation job (ADVICE r3: params draw from
+        # ONE sequential generator per batch, so the same seed at a
+        # different batch size yields different samples — a split built at
+        # mixed batch sizes must be detectable)
+        with open(os.path.join(fuse_dir, "_gen_meta.jsonl"), "a") as f:
+            f.write(json.dumps({
+                "seed": int(args.proc.seed), "batch_size": int(task.batch_size),
+                "num_samples": int(n_samples * task.batch_size),
+                "save_x_stride": fuse_stride, "save_modal": save_modal,
+                "time": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            }) + "\n")
     # only state artifacts need the (huge) space-time fields; rainbowgram
     # plots use the readout waveforms alone
     collect_state = bool(task.save or task.plot_state or fuse)

@@ -319,9 +319,15 @@ def _eval_sweep(eval_fn, gather_fn, n_items, bs, state, rng, on_first=None):
         try:
             vals = []
             for vi, i in enumerate(range(0, n_items, bs)):
-                prep = gather_fn(np.arange(i, min(i + bs, n_items)))
+                hi = min(i + bs, n_items)
+                prep = gather_fn(np.arange(i, hi))
                 outputs, ld = eval_fn(state, prep, rng)
-                vals.append({k: float(np.asarray(v)) for k, v in ld.items()})
+                d = {k: float(np.asarray(v)) for k, v in ld.items()}
+                # batch length: split means are weighted by item count so
+                # metrics are invariant to the batch partition (an
+                # OOM-halved bs must not shift BEST-checkpoint selection)
+                d["_n"] = hi - i
+                vals.append(d)
                 if vi == 0 and on_first is not None:
                     on_first(outputs)
             return vals, bs
@@ -331,6 +337,21 @@ def _eval_sweep(eval_fn, gather_fn, n_items, bs, state, rng, on_first=None):
             bs //= 2
             print(f"[trainer] eval sweep OOM; retrying at batch {bs}",
                   flush=True)
+
+
+def _wmean(vals, prefix):
+    """Item-weighted split means from per-batch loss dicts ('_n' weights;
+    legacy dicts without '_n' weigh batches equally)."""
+    if not vals:
+        return {}
+    w = np.asarray([v.get("_n", 1) for v in vals], np.float64)
+    return {
+        f"{prefix}/{k}": float(
+            np.sum([v[k] * wi for v, wi in zip(vals, w)]) / w.sum()
+        )
+        for k in vals[0]
+        if k != "_n"
+    }
 
 
 def train(args, save_dir):
@@ -499,6 +520,7 @@ def train(args, save_dir):
     step = start_step
     best_val = float("inf")
     eval_bs = int(task.valid_batch_size)
+    test_bs = int(task.get("test_batch_size") or task.valid_batch_size)
     best_marker = os.path.join(_ckpt_dir(save_dir), "BEST")
     if start_step and os.path.exists(best_marker):
         # resumed runs must not demote the recorded best on their first
@@ -568,10 +590,7 @@ def train(args, save_dir):
 
                         small = {k: v[:4] for k, v in outputs.items()}
                         plot_results(save_dir, "valid", small, sr, step=step)
-            mean = {
-                f"valid/{k}": float(np.mean([v[k] for v in vals]))
-                for k in vals[0]
-            } if vals else {}
+            mean = _wmean(vals, "valid")
             mean.update({"epoch": epoch, "step": step, "split": "valid",
                          "lr": float(schedule(step)),
                          "epoch_time": time.time() - t0})
@@ -585,8 +604,11 @@ def train(args, save_dir):
             if testset is not None:
                 tvals = []
                 if tgather is not None:
-                    tvals, eval_bs = _eval_sweep(
-                        eval_step_est, tgather, n_test, eval_bs, state, rng)
+                    # the gather-path test sweep has its OWN batch size
+                    # seeded from task.test_batch_size (ADVICE r3: it used
+                    # to silently reuse the valid-derived eval_bs)
+                    tvals, test_bs = _eval_sweep(
+                        eval_step_est, tgather, n_test, test_bs, state, rng)
                 else:
                     test_iter = (
                         S.prepare_batch(b, model.n_modes, block, sr)
@@ -597,10 +619,7 @@ def train(args, save_dir):
                         tvals.append({k: float(np.asarray(v))
                                       for k, v in ld.items()})
                 if tvals:
-                    tmean = {
-                        f"test/{k}": float(np.mean([v[k] for v in tvals]))
-                        for k in tvals[0]
-                    }
+                    tmean = _wmean(tvals, "test")
                     tmean.update({"epoch": epoch, "step": step, "split": "test"})
                     _log(save_dir, tmean)
             vloss = mean.get("valid/loss", float("inf"))
