@@ -6,6 +6,7 @@ targets + f0 tracks), a few DMSP training steps, and test scoring against
 the modal baseline.  Small shapes so the whole thing runs in minutes on CPU.
 """
 
+import json
 import os
 import shutil
 
@@ -275,8 +276,17 @@ def test_fused_preprocess_matches_classic(tmp_path):
 
     fused_dir = tmp_path / "fused"
     run(True, fused_dir)
-    fused_items = sorted(g.glob(str(fused_dir) + "-prep/*"))
+    fused_items = sorted(
+        d for d in g.glob(str(fused_dir) + "-prep/*") if os.path.isdir(d)
+    )
     assert len(fused_items) == 2, fused_items
+    # generation metadata sidecar records the provenance batch size
+    # (ADVICE r3 #4: mixed-batch-size shards must be detectable)
+    meta_path = str(fused_dir) + "-prep/_gen_meta.jsonl"
+    assert os.path.exists(meta_path)
+    with open(meta_path) as fh:
+        meta = json.loads(fh.readline())
+    assert meta["batch_size"] == 2
     # state-free bundle keeps the rest of the simulation.npz contract
     z = np.load(os.path.join(str(fused_dir), "0-0", "simulation.npz"))
     assert "state_u" not in z.files and "uout" in z.files
@@ -343,7 +353,9 @@ def test_corpus_mode_skips_readout_artifacts(tmp_path):
 
     # run dir: no per-item artifact dirs at all (only the timing log)
     assert not g.glob(str(out) + "/0-*/output*.wav")
-    items = sorted(g.glob(str(out) + "-prep/*"))
+    items = sorted(
+        d for d in g.glob(str(out) + "-prep/*") if os.path.isdir(d)
+    )
     assert len(items) == 2, items
     z = np.load(os.path.join(items[0], "parameters.npz"))
     for key in ("uout", "zout", "v_r_out", "F_H_out", "u_H_out", "ua_f0"):
