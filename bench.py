@@ -271,13 +271,13 @@ def bench_nsynth_e2e(n_samples, deadline):
     from torch_fdtd_string_tpu.tasks import simulate as sim_task
     from torch_fdtd_string_tpu.utils.config import compose
 
-    # one wide dispatch instead of four batch-24 ones: same 96-sample
-    # workload (the reference config's batch=24 is a GPU-memory choice, not
-    # part of the workload definition); a wide batch amortizes dispatch +
-    # transfer overhead and engages grid-size bucketing (B >= 2*BB).
-    # 48 is the HBM ceiling: the fused-prep path keeps the full (Nt, B, MP)
-    # state fields on device and B=96 ResourceExhausts the 16 GB chip
-    batch = min(48, max(24, (n_samples // 24) * 24))
+    # the reference config's batch (nsynth-like.yaml:25).  B=48 was round
+    # 3's "HBM ceiling" guess, but it was never actually dispatched (the
+    # phantom-batch bug below); with the batch really passed, B=48 with
+    # collect_state=True OOMs the 16 GB chip during the bucketed scatter
+    # (two functional-update generations of the (Nt, B, MP) f32 state
+    # coexist).  B=24 is the measured-good configuration.
+    batch = 24
     iters = max(n_samples // batch, 1)
     args = compose(
         CONFIG_DIR,
@@ -295,7 +295,19 @@ def bench_nsynth_e2e(n_samples, deadline):
     try:
         sim_task.link_bytes(reset=True)
         t0 = time.perf_counter()
-        sim_task.run(args, tmp, "pluck", iters)
+        try:
+            sim_task.run(args, tmp, "pluck", iters)
+        except Exception as err:
+            # never let an HBM regression kill the whole bench section:
+            # halve the batch once and re-run the remaining samples
+            if "RESOURCE_EXHAUSTED" not in str(err):
+                raise
+            sys.stderr.write(
+                f"[bench] nsynth e2e OOM at batch={batch}; "
+                f"retrying at {batch // 2}\n"
+            )
+            args.task.batch_size = batch // 2
+            sim_task.run(args, tmp, "pluck", iters * 2)
         wall = time.perf_counter() - t0
         moved = sim_task.link_bytes()
         written = len(
