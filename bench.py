@@ -257,8 +257,20 @@ def bench_sim(B, length, bowed, deadline, reps=3):
     # a chunk multiple (T), the engine scan runs all Nt-2 steps
     steps_each = T if use_pallas else int(48000 * length) - 2
     steps_n = B * steps_each
+    rate = steps_n / 48000.0 / wall
+    # plausibility guard: a wedging TPU relay has been observed to ack
+    # dispatches instantly WITHOUT computing (sub-ms "walls" for 46k-step
+    # scans, i.e. >10,000 audio-s/s) shortly before hanging outright.  The
+    # roofline ceiling for this kernel is a few hundred audio-s/s; never
+    # record a physically impossible number as a measurement.
+    if rate > 2000.0:
+        return {
+            "error": f"implausible_rate_{rate:.0f}_audio_s_per_s",
+            "wall_s": round(wall, 6),
+            "backend": "pallas" if use_pallas else "xla",
+        }
     return {
-        "audio_s_per_s": round(steps_n / 48000.0 / wall, 3),
+        "audio_s_per_s": round(rate, 3),
         "string_steps_per_sec": round(steps_n / wall),
         "wall_s": round(wall, 4),
         "backend": "pallas" if use_pallas else "xla",
@@ -485,6 +497,8 @@ def main():
     degraded = None
     if fast:
         degraded = "tpu_backend_wedged_cpu_fallback"
+    elif "error" in head:
+        degraded = head["error"]
     elif head.get("backend") != "pallas":
         degraded = f"headline_backend={head.get('backend', 'missing')}"
 
