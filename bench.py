@@ -471,12 +471,26 @@ def main():
 
     matrix = {}
 
+    # per-section watchdog: the axon relay has been observed to wedge
+    # MID-RUN (dispatch acks, pulls hang forever).  A hung section must
+    # become an error entry, not an absent BENCH json — the alarm fires at
+    # the remaining global budget (min 60 s) and unwinds the section.
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError("section watchdog: relay pull wedged")
+
+    signal.signal(signal.SIGALRM, _alarm)
+
     def section(name, fn, *a, **kw):
+        signal.alarm(int(max(60.0, deadline - time.time())))
         try:
             matrix[name] = fn(*a, **kw)
         except Exception as err:
             matrix[name] = {"error": f"{type(err).__name__}: {err}"}
             sys.stderr.write(f"[bench] {name} failed: {err}\n")
+        finally:
+            signal.alarm(0)
 
     if fast:
         section("pluck_b16", bench_sim, 4, 0.25, False, deadline)
