@@ -326,6 +326,64 @@ def test_fused_preprocess_matches_classic(tmp_path):
             assert np.abs(wf - wc).max() < tol, (item, xi_f)
 
 
+def test_x_offset_jitter_varies_kept_columns(tmp_path):
+    """task.save_x_offset_jitter=true draws a fresh stride offset per batch:
+    every item still stores K = Nx/stride columns, but the stored x grid
+    shifts between iterations so a corpus covers all Nx columns (round-3
+    mode-head x-memorization fix).  Offsets come from a dedicated generator
+    seeded by proc.seed, leaving the parameter stream untouched."""
+    import glob as g
+
+    from torch_fdtd_string_tpu.tasks import simulate as sim_task
+    from torch_fdtd_string_tpu.utils.config import compose
+
+    cfg_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "torch_fdtd_string_tpu", "configs",
+    )
+    out = tmp_path / "jitter"
+    seed = 11
+    args = compose(cfg_dir, [
+        "experiment=nsynth-like", f"proc.seed={seed}",
+        "task.batch_size=1", "task.length=0.1",
+        "task.chunk_length=0.1", "task.randomize_name=false",
+        "task.save_x_stride=4", "task.process_Nx=64", "proc.cpu=true",
+        "task.save=false", "task.save_modal=false",
+        "task.save_output_wav=false", "task.save_x_offset_jitter=true",
+    ])
+    os.makedirs(out, exist_ok=True)
+    sim_task.run(args, str(out), "pluck", 3)
+
+    xg = np.linspace(0, 1, 64)
+    exp_rng = np.random.default_rng([seed, 0x0FF5E7])
+    offsets = []
+    for it in range(3):
+        # the offset is drawn once per iteration whether or not the item
+        # survives (seed 11's iteration 1 draw NaNs under CPU f32 — an
+        # unstable discretization, unrelated to the jitter)
+        exp_off = int(exp_rng.integers(4))
+        item = str(out) + f"-prep/{it}-0/parameters.npz"
+        if not os.path.exists(item):
+            continue
+        z = np.load(item)
+        x = z["x"][0]
+        assert x.shape == (16,)  # K constant across offsets
+        # recover the offset from the first stored x and check the whole
+        # grid matches xg[off::4]
+        off = int(np.argmin(np.abs(xg - x[0])))
+        assert 0 <= off < 4
+        np.testing.assert_allclose(x, xg[off::4], rtol=0, atol=0)
+        assert off == exp_off  # seeded + reproducible
+        offsets.append(off)
+        # per-item wav count unchanged
+        assert len(g.glob(str(out) + f"-prep/{it}-0/ut-*.wav")) == 16
+    assert len(set(offsets)) > 1, offsets
+    # provenance sidecar records the jitter flag
+    with open(str(out) + "-prep/_gen_meta.jsonl") as fh:
+        meta = json.loads(fh.readline())
+    assert meta["save_x_offset_jitter"] is True
+
+
 def test_corpus_mode_skips_readout_artifacts(tmp_path):
     """task.save_output_wav=false (training-corpus mode): no run-dir wav
     triplet, no readout copies in parameters.npz — but the training keys

@@ -30,6 +30,10 @@ SPLIT_ARGS = {
     "valid": ["task.save_x_stride=8", "task.save_modal=true"],
     "train": ["task.save_x_stride=16", "task.save_modal=false",
               "task.save_output_wav=false",
+              # randomized stride offset per batch: 16 stored pickups per
+              # string, but 256 distinct grid columns across the corpus —
+              # kills the discrete-x memorization floor seen in round 3
+              "task.save_x_offset_jitter=true",
               # wide batches engage grid-size bucketing (B >= 2*g_min) and
               # amortize dispatch (perf_probe_r3).  48 is the HBM ceiling:
               # the fused-prep path keeps the full (Nt, B, MP) state fields

@@ -1077,6 +1077,18 @@ def run(args, save_dir, model_name, n_samples):
         np.arange(0, fuse_Nx, fuse_stride)
         if fuse and os.environ.get("FDTD_NO_POSTPROC") != "1" else None
     )
+    # task.save_x_offset_jitter: draw a fresh stride offset per batch so the
+    # corpus covers EVERY training-grid column over a run instead of the same
+    # K strided positions for every string (round-3 lesson: the mode heads
+    # memorize a small discrete x set and interpolate badly between).  A
+    # dedicated generator keeps the parameter stream — and therefore the
+    # _gen_meta.jsonl provenance contract — untouched.
+    fuse_jitter = bool(task.get("save_x_offset_jitter", False))
+    x_off_rng = (
+        np.random.default_rng([int(args.proc.seed), 0x0FF5E7])
+        if (fuse_keep is not None and fuse_jitter and fuse_stride > 1)
+        else None
+    )
     if fuse:
         from . import process_training_data as ptd
         from ..ops import postproc as pp
@@ -1092,6 +1104,7 @@ def run(args, save_dir, model_name, n_samples):
                 "seed": int(args.proc.seed), "batch_size": int(task.batch_size),
                 "num_samples": int(n_samples * task.batch_size),
                 "save_x_stride": fuse_stride, "save_modal": save_modal,
+                "save_x_offset_jitter": fuse_jitter,
                 "time": time.strftime("%Y-%m-%dT%H:%M:%S"),
             }) + "\n")
     # only state artifacts need the (huge) space-time fields; rainbowgram
@@ -1113,6 +1126,13 @@ def run(args, save_dir, model_name, n_samples):
             pending.pop(0).result()
         dx = str(it) if not task.randomize_name else ms.random_str(rng=rng)
         save_path = f"{save_dir}/{dx}/{sr}" if task.write_during_process else None
+        # per-iteration kept-column set (same K for every offset, so the
+        # device postproc O_stack keeps one shape and never recompiles)
+        keep_it = fuse_keep
+        if x_off_rng is not None:
+            keep_it = np.arange(
+                int(x_off_rng.integers(fuse_stride)), fuse_Nx, fuse_stride
+            )
 
         st = time.time()
         results, params_out, masks = simulate(
@@ -1143,7 +1163,7 @@ def run(args, save_dir, model_name, n_samples):
             # device->host link overlaps the next batch's kernel
             defer_state=True,
             postproc_keep=(
-                (fuse_keep, fuse_Nx) if fuse_keep is not None else None
+                (keep_it, fuse_Nx) if keep_it is not None else None
             ),
             # keep readout waveforms on-device too; writers pull them lazily
             defer_out=True,
@@ -1210,7 +1230,7 @@ def run(args, save_dir, model_name, n_samples):
                     sr=sr, skip_nan=task.skip_nan,
                     collect_state=collect_state, defer_state=True,
                     postproc_keep=(
-                        (fuse_keep, fuse_Nx) if fuse_keep is not None
+                        (keep_it, fuse_Nx) if keep_it is not None
                         else None
                     ),
                     defer_out=True, kernel_gmres=True,
@@ -1333,7 +1353,7 @@ def run(args, save_dir, model_name, n_samples):
                        string=string, bow=bow, hammer=hammer, Nx_t=Nx_t,
                        Nx_l=Nx_l, sig0=sig0, sig1=sig1,
                        bow_mask=bow_mask, hammer_mask=hammer_mask,
-                       pluck_mask=pluck_mask):
+                       pluck_mask=pluck_mask, fuse_keep=keep_it):
             bitrate = "PCM_24" if task.precision == "double" else "PCM_16"
             state_h = state_u
             # fused mode pulls per-element native-width slices instead of
