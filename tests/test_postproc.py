@@ -107,8 +107,13 @@ class TestDevicePostproc:
                 ut_ref[:, x_keep],
                 atol=3e-3,  # f16 output quantisation
             )
+            uts_ref = ut_ref.sum(axis=1)
+            vt_ref = uts_ref[1:] - uts_ref[:-1]
+            # device diff is f32 (host-twin math); f16 only rounds the
+            # shipped result
             np.testing.assert_allclose(
-                out["uts"][b], ut_ref.sum(axis=1), rtol=2e-4, atol=2e-4
+                out["vt"][b].astype(np.float32), vt_ref,
+                rtol=2e-3, atol=2e-3 * max(np.abs(vt_ref).max(), 1e-6),
             )
             live_max = max(
                 np.abs(su[b, t, : widths[b, t]]).max() for t in range(Nt)

@@ -180,7 +180,8 @@ def postprocess_batch(su, u1_init, u2_init, f0_head, f0_t, kappa, O_stack,
 
     Returns dict of device arrays:
       ``ut_keep`` (B, Nt, K) f16 — kept training-grid columns,
-      ``uts`` (B, Nt) f32 — full-grid spatial sum (vt/pitch source),
+      ``vt`` (B, Nt-1) f16 — summed-velocity wav (diff of the full-grid
+      spatial sum, computed in f32 on device),
       ``ut_f0`` (B, n_frames) f32 — YIN track of the normalised sum,
       ``umax`` (B,) f32 — live-domain max-abs (the ell_infty gain source).
 
@@ -230,7 +231,12 @@ def postprocess_batch(su, u1_init, u2_init, f0_head, f0_t, kappa, O_stack,
 
     return {
         "ut_keep": ut_keep.astype(jnp.float16),
-        "uts": uts,
+        # first difference of the full-grid spatial sum — the summed-velocity
+        # wav (state_to_wav, k=1).  Shipped f16 instead of the f32 sum: the
+        # diff is computed in f32 on device (identical math to the host
+        # twin), f16 only rounds the result, and the <6 MB/s relay link is
+        # the e2e dataset-generation bottleneck (halves this pull's bytes)
+        "vt": (uts[:, 1:] - uts[:, :-1]).astype(jnp.float16),
         "ut_f0": ut_f0,
         "umax": umax,
     }

@@ -495,8 +495,8 @@ def _assemble_post_item(pz, b, _sim, _str, _bow, _ham, string, Nx_t,
 
     ut = np.asarray(pz["ut_keep"][b], np.float32)  # (Nt, K)
     Nt = ut.shape[0]
-    uts = np.asarray(pz["uts"][b], np.float32)
-    vt = uts[1:] - uts[:-1]  # summed-velocity wav (state_to_wav, k=1)
+    # summed-velocity wav (state_to_wav, k=1), diffed on device (f16 pull)
+    vt = np.asarray(pz["vt"][b], np.float32)
     # NOTE gain convention: the device postproc takes max|u| over the
     # NATIVE-width live domain; the reference (and build_processed) take it
     # over the 256-grid upsampled field, which differs by the spline
