@@ -28,11 +28,15 @@ COMMON = [
 SPLIT_ARGS = {
     "test": ["task.save_x_stride=8", "task.save_modal=true"],
     "valid": ["task.save_x_stride=8", "task.save_modal=true"],
-    "train": ["task.save_x_stride=16", "task.save_modal=false",
+    "train": ["task.save_x_stride=32", "task.save_modal=false",
               "task.save_output_wav=false",
-              # randomized stride offset per batch: 16 stored pickups per
+              # randomized stride offset per batch: 8 stored pickups per
               # string, but 256 distinct grid columns across the corpus —
-              # kills the discrete-x memorization floor seen in round 3
+              # kills the discrete-x memorization floor seen in round 3.
+              # stride 32 (not 16): the <6 MB/s relay link prices every
+              # stored column at ~0.19 MB per 2 s string, and string count
+              # beats within-string pickup count for estimator
+              # generalization once jitter densifies global x coverage
               "task.save_x_offset_jitter=true",
               # wide batches engage grid-size bucketing (B >= 2*g_min) and
               # amortize dispatch (perf_probe_r3).  48 is the HBM ceiling:
