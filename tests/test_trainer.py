@@ -163,6 +163,37 @@ def test_train_evaluate_resume(dmsp_data, tmp_path):
     assert int(state2.step) == 2 * spe
 
 
+def test_train_evaluate_physics_estimator(dmsp_data, tmp_path):
+    """model.mode_estimator=physics trains and scores end-to-end under the
+    honest inference protocol (use_precomputed_mode=false: the test split
+    synthesizes from the model's OWN mode computation, reference
+    synthesize.py:409-410)."""
+    from torch_fdtd_string_tpu.tasks import trainer
+
+    root = dmsp_data
+    save_dir = str(tmp_path / "run_phys")
+    os.makedirs(save_dir, exist_ok=True)
+
+    args = _args(root, save_dir, extra=[
+        "model.mode_estimator=physics",
+        "model.use_precomputed_mode=false",
+    ])
+    state = trainer.train(args, save_dir)
+    # physics path has no learned estimator params
+    import jax
+
+    flat = jax.tree_util.tree_leaves_with_path(state.params)
+    assert not any("ModeEstimator" in jax.tree_util.keystr(p)
+                   for p, _ in flat)
+
+    out_rows, mod_rows = trainer.evaluate(args, save_dir)
+    assert np.isfinite(np.asarray(out_rows)).all()
+    assert np.isfinite(np.asarray(mod_rows)).all()
+    recs = [json.loads(l) for l in open(os.path.join(save_dir, "metrics.jsonl"))]
+    test_recs = [r for r in recs if r.get("split") == "test"]
+    assert test_recs and "test/sisdr" in test_recs[-1]
+
+
 def test_plot_state_video_artifacts(tmp_path):
     from torch_fdtd_string_tpu.tasks.callbacks import plot_state_video
 

@@ -144,6 +144,10 @@ class Synthesizer(nn.Module):
     block_size: int = 256
     harmonic: str = "inharmonic"
     ddsp_fm: bool = False
+    # "mlp": the reference's learned estimator (blocks.ModeEstimator).
+    # "physics": embedded dispersion tables + in-jit amp fit
+    # (models/physmodes.py) — exact to ~2e-5, no learned parameters
+    mode_estimator: str = "mlp"
     x_scale: Sequence[float] = (0.0, 1.0)
     t_scale: Sequence[float] = (0.0, 0.3)
     gamma_scale: Sequence[float] = (196.0, 880.0)
@@ -180,14 +184,23 @@ class Synthesizer(nn.Module):
         # reference conditions on the 10th f0 frame (synthesizer.py:77);
         # clamp for short clips
         gi = min(9, gamma.shape[1] - 1)
-        in_coef, in_freq = ModeEstimator(
-            self.n_modes,
-            self.embed_dim,
-            self.kappa_scale,
-            self.gamma_scale,
-            inharmonic=self.inharmonic,
-            sr=self.sr,
-        )(initial, space, kappa, gamma[:, gi : gi + 1])
+        if self.mode_estimator == "physics":
+            from .physmodes import PhysicsModeEstimator
+
+            in_coef, in_freq = PhysicsModeEstimator(
+                self.n_modes,
+                tuple(self.kappa_scale),
+                sr=self.sr,
+            )(initial, space, kappa, gamma[:, gi : gi + 1], t60)
+        else:
+            in_coef, in_freq = ModeEstimator(
+                self.n_modes,
+                self.embed_dim,
+                self.kappa_scale,
+                self.gamma_scale,
+                inharmonic=self.inharmonic,
+                sr=self.sr,
+            )(initial, space, kappa, gamma[:, gi : gi + 1])
         mode_coef = in_coef if mode_coef is None else mode_coef
         mode_freq = in_freq if mode_freq is None else mode_freq
         mode_freq = mode_freq + relf0  # linear FM

@@ -42,6 +42,7 @@ def build_model(args):
         block_size=m.block_size,
         harmonic=m.harmonic,
         ddsp_fm=bool(m.get("ddsp_frequency_modulation") or False),
+        mode_estimator=str(m.get("mode_estimator") or "mlp"),
         x_scale=tuple(m.x_scale),
         t_scale=tuple(m.t_scale),
         gamma_scale=tuple(m.gamma_scale),
