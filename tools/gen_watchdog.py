@@ -38,6 +38,7 @@ SPLIT_ARGS = {
               # beats within-string pickup count for estimator
               # generalization once jitter densifies global x coverage
               "task.save_x_offset_jitter=true",
+              "task.save_compact_params=true",
               # wide batches engage grid-size bucketing (B >= 2*g_min) and
               # amortize dispatch (perf_probe_r3).  48 is the HBM ceiling:
               # the fused-prep path keeps the full (Nt, B, MP) state fields

@@ -1071,6 +1071,10 @@ def run(args, save_dir, model_name, n_samples):
     # prepared parameters.npz (no training/eval consumer reads either), so
     # the readout waveforms never cross the device->host link
     save_wav = bool(task.get("save_output_wav", True))
+    # task.save_compact_params=true (corpus mode): prepared items keep only
+    # the keys the training/eval loaders read — ~1.7 MB/item of masked
+    # bow/hammer series and grid-width curves stay off the disk
+    compact_params = bool(task.get("save_compact_params", False))
     # FDTD_NO_POSTPROC=1 restores per-item native-width pulls + host
     # preprocessing (regression/debug escape hatch)
     fuse_keep = (
@@ -1490,6 +1494,14 @@ def run(args, save_dir, model_name, n_samples):
                     if not save_modal:
                         for key in ("ua", "ua_f0"):
                             overall_p.pop(key, None)
+                if compact_params:
+                    # training-corpus mode: drop the (Nt,) series no loader
+                    # reads (data/dataset.py KEYS) — masked bow/hammer
+                    # tracks, grid-width curves, the f0 target twin.  The
+                    # classic bundle contract keeps them (default false).
+                    for key in ("Nx_t", "Nx_l", "target_f0", "x_B", "v_B",
+                                "F_B", "wid_B", "v_H", "u_H"):
+                        overall_p.pop(key, None)
                 t0 = time.perf_counter()
                 udata.save(
                     os.path.join(fuse_dir, os.path.basename(d)), overall_p,
