@@ -57,10 +57,15 @@ while ! tpu_ready && [ "$waited" -lt "${SCORE_WAIT_S:-3600}" ]; do
 done
 
 if [ ! -s "$RUN/score/output.txt" ]; then
+  # LOAD_NAME: corpus dir under ./results; SCORE_EXTRA: extra run.py
+  # overrides (e.g. model.mode_estimator=physics — the scoring process
+  # re-composes the config, so model choices must be passed again)
   timeout 7200 python run.py experiment=synth-dmsp proc.train=false \
-    proc.test=true task.load_dir=./results task.load_name=dmsp5k \
+    proc.test=true task.load_dir=./results \
+    "task.load_name=${LOAD_NAME:-dmsp5k}" \
     task.root_dir=./results "task.save_name=$(basename "$RUN")" \
-    task.x_stride=1 task.plot=false > "$RUN/test_score.log" 2>&1
+    task.x_stride=1 task.plot=false ${SCORE_EXTRA:-} \
+    > "$RUN/test_score.log" 2>&1
   echo "[post] scoring rc=$?"
 fi
 echo "[post] score summary:"

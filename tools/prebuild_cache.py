@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--block", type=int, default=256)
     ap.add_argument("--sr", type=int, default=48000)
     ap.add_argument("--trim-s", type=float, default=1.0)
+    ap.add_argument("--splits", default="train,valid,test",
+                    help="comma list; e.g. test-only x1 cache for scoring "
+                         "without paying a full-corpus train scan")
     a = ap.parse_args()
 
     from torch_fdtd_string_tpu.data.dataset import Testset, Trainset
@@ -43,6 +46,8 @@ def main():
         "test": Testset(a.data_dir, a.load_name, split="test",
                         x_stride=a.x_stride),
     }
+    wanted = {s.strip() for s in a.splits.split(",") if s.strip()}
+    sets = {k: v for k, v in sets.items() if k in wanted}
     for split, ds in sets.items():
         path = os.path.join(a.data_dir, a.load_name,
                             f"_prep_{split}_{ctag}.npz")
