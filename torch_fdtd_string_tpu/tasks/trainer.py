@@ -788,7 +788,10 @@ def dryrun_train_step(mesh, batch_size=8):
     B, Nt, Nx, block = batch_size, 1024, 64, 256
     n_frames = Nt // block + 1
     model = Synthesizer(
-        n_modes=8, n_bands=9, hidden_dim=32, embed_dim=16, block_size=block
+        n_modes=8, n_bands=9, hidden_dim=32, embed_dim=16, block_size=block,
+        # flagship parity: the physics mode path (table gather + batched
+        # normal-equation solves + argsort merge) must shard over the mesh
+        mode_estimator="physics",
     )
     rngs = {"params": jax.random.key(0), "noise": jax.random.key(1)}
     prep = {
