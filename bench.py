@@ -282,30 +282,28 @@ def bench_nsynth_e2e(n_samples, deadline):
     (reference protocol: simulate.py:278-331 with save on).
 
     Measures the production corpus recipe — the exact flags
-    tools/gen_watchdog.py ships for the train split (stride-16 kept
-    columns with per-batch offset jitter, no modal baseline, no run-dir
-    readout wavs, NaN-skip semantics).  The <6 MB/s relay link is the
-    e2e bottleneck (round-3: wall == link bytes / 4.4 MB/s), so what
-    this section really measures is delivered bytes per sample; the
-    corpus recipe is the honest denominator because it is what the
-    product actually ships per training item."""
+    tools/gen_watchdog.py ships for the train split (stride-32 kept
+    columns with per-batch offset jitter, compact parameter bundles, no
+    modal baseline, no run-dir readout wavs, NaN-skip semantics, B=48).
+    The <6 MB/s relay link is the e2e bottleneck (round-3: wall == link
+    bytes / 4.4 MB/s), so what this section really measures is delivered
+    bytes per sample; the corpus recipe is the honest denominator because
+    it is what the product actually ships per training item."""
     from torch_fdtd_string_tpu.tasks import simulate as sim_task
     from torch_fdtd_string_tpu.utils.config import compose
 
-    # the reference config's batch (nsynth-like.yaml:25).  B=48 was round
-    # 3's "HBM ceiling" guess, but it was never actually dispatched (the
-    # phantom-batch bug below); with the batch really passed, B=48 with
-    # collect_state=True OOMs the 16 GB chip during the bucketed scatter
-    # (two functional-update generations of the (Nt, B, MP) f32 state
-    # coexist).  B=24 is the measured-good configuration.
-    batch = 24
+    # gen_watchdog's train-split batch: the fused-prep path keeps the
+    # (Nt, B, MP) state on device (~7 GB at B=48); the dmsp20k corpus run
+    # sustained it for 20k+ strings.  A RESOURCE_EXHAUSTED regression
+    # still backs off to 24 below instead of failing the section.
+    batch = 48
     iters = max(n_samples // batch, 1)
     args = compose(
         CONFIG_DIR,
         [
             "experiment=nsynth-like",
             f"task.num_samples={iters * batch}",
-            # round-3 bug: the wide batch was computed but never passed, so
+            # round-3 bug: a wide batch was computed but never passed, so
             # the run executed iters x 24 samples while the metric credited
             # iters x 48 — the "52% attrition" was phantom samples
             f"task.batch_size={batch}",
@@ -313,8 +311,9 @@ def bench_nsynth_e2e(n_samples, deadline):
             # production corpus recipe (tools/gen_watchdog.py train split)
             "task.save=false", "task.plot=false",
             "task.skip_silence=true", "task.rescue_nan=false",
-            "task.save_x_stride=16", "task.save_modal=false",
+            "task.save_x_stride=32", "task.save_modal=false",
             "task.save_output_wav=false", "task.save_x_offset_jitter=true",
+            "task.save_compact_params=true",
         ],
     )
     tmp = tempfile.mkdtemp(prefix="bench_nsynth_")

@@ -42,7 +42,7 @@ def test_nsynth_e2e_oom_backoff(bench_mod, monkeypatch, tmp_path):
     import time as _time
 
     res = bench_mod.bench_nsynth_e2e(100, _time.time() + 60)
-    assert [c[0] for c in calls] == [24, 12], calls
+    assert [c[0] for c in calls] == [48, 24], calls
     assert calls[1][1] == 2 * calls[0][1]
     assert res["samples_written"] == 2
     assert res["audio_s_per_s"] > 0
