@@ -128,6 +128,44 @@ class StiffStringModes:
             assert float(result.cost) < 1e-20, result.cost
         return np.sort(result.x)
 
+    def roots(self, kind, strict=True, kappa_rel=None):
+        """All family roots (refined mu2) in the sweep range.
+
+        When ``kappa_rel`` is given and lies inside the cached table range,
+        the 1e6-point dense sweep (~150 ms/item, the corpus-generation
+        assemble hot spot on this 1-core host) is replaced by seeding the
+        SAME Levenberg-Marquardt refinement from a kappa-interpolated root
+        table (~2e-5 relative seeds, far inside every root's basin) — the
+        refined roots agree with the sweep-seeded ones to ~1e-12 relative
+        (asserted by ``tests/test_root_table.py``), i.e. well below the
+        f32 precision of anything stored in a dataset.  Root COUNT per
+        family is structurally constant over the table's kappa range (the
+        top root sits >1.5 below the ``s_max`` sweep bound; asserted at
+        table-build time), so the root SET matches the sweep's exactly.
+        ``FDTD_NO_ROOT_TABLE=1`` forces the dense sweep.
+        """
+        import os
+
+        if (kappa_rel is not None
+                and os.environ.get("FDTD_NO_ROOT_TABLE") != "1"
+                and self.L == 1.0 and self.s_min == math.pi / 2
+                and self.s_max == 100 * math.pi
+                and _ROOT_TABLE_LO <= kappa_rel <= _ROOT_TABLE_HI):
+            kgrid, fams = root_tables()
+            u = (kappa_rel - kgrid[0]) / (kgrid[1] - kgrid[0])
+            i0 = min(int(u), len(kgrid) - 2)
+            w = u - i0
+            mu1_seed = fams[kind][i0] * (1.0 - w) + fams[kind][i0 + 1] * w
+            mu2_seed = self._mu2(mu1_seed)
+            out = self.refine(mu2_seed, kind, strict=strict)
+            mu1 = self._mu1(out)
+            # runtime guard: every refined root must stay in the sweep
+            # window and keep the table's ordering margin — else fall back
+            if (np.all(np.diff(out) > 0.1)
+                    and mu1[0] >= self.s_min and mu1[-1] <= self.s_max):
+                return out
+        return self.refine(self.sweep(kind), kind, strict=strict)
+
     def shapes(self, mu2, kind, x):
         """Unit-coefficient mode shapes on grid ``x``: (n_modes, Nx)."""
         h = self.L / 2
@@ -141,6 +179,61 @@ class StiffStringModes:
             corr = -np.sin(mu1 * h) / np.sinh(mu2 * h)
             hyp = corr[:, None] * np.sinh(mu2[:, None] * x[None, :])
         return trig + hyp
+
+
+# root-table range: comfortably brackets every config's kappa draw range
+# (nsynth-like: [0.01, 0.03]); outside it the dense sweep runs as before
+_ROOT_TABLE_LO = 0.008
+_ROOT_TABLE_HI = 0.04
+
+
+def root_tables(n_k=257):
+    """(kgrid, {"even": (n_k, 50), "odds": (n_k, 49)}) mu1 root tables.
+
+    Host-built once with the dense sweep + LM refinement at every kappa
+    grid point (~45 s), then disk-cached under ``~/.jax_fdtd_cache`` and
+    in-process.  The per-family root count must be identical at every
+    grid point (asserted) — that is what makes table seeding return the
+    exact root SET the sweep would find (see ``StiffStringModes.roots``).
+    """
+    return _root_tables_cached(n_k)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=2)
+def _root_tables_cached(n_k):
+    import os
+
+    cache_dir = os.path.expanduser("~/.jax_fdtd_cache")
+    path = os.path.join(
+        cache_dir,
+        f"analytic_roots_{_ROOT_TABLE_LO:.6g}_{_ROOT_TABLE_HI:.6g}_{n_k}.npz",
+    )
+    if os.path.exists(path):
+        z = np.load(path)
+        return z["kgrid"], {"even": z["even"], "odds": z["odds"]}
+    kgrid = np.linspace(_ROOT_TABLE_LO, _ROOT_TABLE_HI, n_k)
+    fams = {"even": [], "odds": []}
+    for kap in kgrid:
+        solver = StiffStringModes(1.0 / (2.0 * kap * kap))
+        for kind in ("even", "odds"):
+            mu2 = solver.refine(solver.sweep(kind), kind, strict=False)
+            mu1 = solver._mu1(mu2)
+            if fams[kind]:
+                assert len(mu1) == len(fams[kind][0]), (
+                    "root count changed across the table range", kap, kind,
+                    len(mu1), len(fams[kind][0]),
+                )
+            fams[kind].append(mu1)
+    even = np.asarray(fams["even"])
+    odds = np.asarray(fams["odds"])
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}.npz"
+    np.savez(tmp, kgrid=kgrid, even=even, odds=odds)
+    os.replace(tmp, path)
+    return kgrid, {"even": even, "odds": odds}
 
 
 def lossy_stiff_string(u0, f0, kappa_rel, t60, Nt, Nx, sr, L=1.0, strict=True,
@@ -172,7 +265,8 @@ def lossy_stiff_string(u0, f0, kappa_rel, t60, Nt, Nx, sr, L=1.0, strict=True,
     freqs, amps = [], []
     u = np.zeros((Nt, Nx)) if return_field else None
     for kind in ("even", "odds"):
-        mu2 = solver.refine(solver.sweep(kind), kind, strict=strict)
+        mu2 = solver.roots(kind, strict=strict,
+                           kappa_rel=float(kappa_rel) if L == 1.0 else None)
         mu1 = solver._mu1(mu2)
         X = solver.shapes(mu2, kind, x)  # (n, Nx) unit shapes
         # linear coefficient fit: sum_n b_n X_n = u0  (the reference solves
