@@ -22,13 +22,13 @@ done
 while [ "$GEN_PID" != "0" ] && kill -0 "$GEN_PID" 2>/dev/null; do
   sleep 15
 done
-echo "[window] chip free; sweep starts ($(date -u +%H:%M:%S))"
-
-timeout 1500 python tools/batch_sweep.py --reps 2 --budget 120 \
-  | tee results/batch_sweep_r4.jsonl
-echo "[window] sweep done ($(date -u +%H:%M:%S)); xprof capture"
+echo "[window] chip free; xprof capture first (short, must land) ($(date -u +%H:%M:%S))"
 
 timeout 900 python tools/profile_kernel.py 256 results/xprof_r4 \
   > results/xprof_r4_summary.txt 2>&1
 tail -5 results/xprof_r4_summary.txt
+echo "[window] xprof done ($(date -u +%H:%M:%S)); batch sweep"
+
+timeout 1500 python tools/batch_sweep.py --reps 2 --budget 120 \
+  | tee results/batch_sweep_r4.jsonl
 echo "[window] done ($(date -u +%H:%M:%S))"
