@@ -51,8 +51,11 @@ STALL_S = 8 * 60    # afterwards: no new item dir for this long == wedged
 
 
 def count(d):
+    # item dirs only: sidecar files (_gen_meta.jsonl) must not end the
+    # compile grace period or count toward the split target
     try:
-        return len(os.listdir(d))
+        with os.scandir(d) as it:
+            return sum(1 for e in it if e.is_dir())
     except FileNotFoundError:
         return 0
 
