@@ -151,3 +151,44 @@ def test_batched_gmres_rescue_isolated():
             assert np.abs(uout[j] - u1j).max() / scale < 1e-6, j
     finally:
         jax.config.update("jax_enable_x64", x64_before)
+
+
+def test_nan_skip_policy_disables_whole_ladder():
+    """rescue_nan=false (the dataset-generation recipe) must disable BOTH
+    ladder stages: the kernel-GMRES re-run re-dispatches the full batch to
+    recover ~0.7% of samples (round-4 corpus measurement), while NaN-skip
+    replaces a skipped sample for ~2% of a batch."""
+    from types import SimpleNamespace
+
+    from torch_fdtd_string_tpu.tasks.simulate import (
+        kernel_gmres_rerun_enabled,
+    )
+    from torch_fdtd_string_tpu.utils.config import compose
+
+    cfgdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "torch_fdtd_string_tpu/configs",
+    )
+    tpu_args = SimpleNamespace(proc=SimpleNamespace(cpu=False))
+
+    # nsynth-like (dataset generation): rescue_nan=false -> no re-run
+    gen = compose(cfgdir, ["experiment=nsynth-like"])
+    assert gen.task.rescue_nan is False
+    assert not kernel_gmres_rerun_enabled(gen.task, tpu_args)
+
+    # default simulate task (verification/archival): full ladder stays on
+    ver = compose(cfgdir, [])
+    assert ver.task.get("rescue_nan", True)
+    assert kernel_gmres_rerun_enabled(ver.task, tpu_args)
+
+    # double-precision and cpu runs never take the kernel path
+    assert not kernel_gmres_rerun_enabled(
+        ver.task, SimpleNamespace(proc=SimpleNamespace(cpu=True))
+    )
+
+    # env escape still wins over config
+    os.environ["FDTD_NO_KERNEL_GMRES"] = "1"
+    try:
+        assert not kernel_gmres_rerun_enabled(ver.task, tpu_args)
+    finally:
+        del os.environ["FDTD_NO_KERNEL_GMRES"]

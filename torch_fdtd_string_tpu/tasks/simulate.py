@@ -213,6 +213,30 @@ def _pallas_eligible(consts: SimConsts, device, dtype):
     return dtype == _np.float32
 
 
+def kernel_gmres_rerun_enabled(task, args):
+    """Gate for rescue-ladder step 1 (the on-TPU GMRES-enabled re-run).
+
+    rescue_nan=false selects the reference's NaN-skip semantics
+    (reference simulate.py:91-93): skips are replaced by fresh draws, so
+    the whole ladder is off, not just the f64 stage.  The re-run
+    re-dispatches the full batch, and the round-4 corpus measurement
+    (results/dmsp5k-sim-train-1000/skip_stats.json: 130 first-pass NaN,
+    8 rescued over 1,200 samples) shows it recovers ~6% of diverged
+    elements — ~0.7% of samples — at ~2x batch kernel cost, while a
+    replacement sample costs ~2% of a batch.  Verification/archival
+    configs (rescue_nan=true, the default) keep the full ladder.
+    """
+    import os
+
+    return (
+        not args.proc.cpu
+        and task.get("precision", "single") != "double"
+        and task.get("rescue_nan", True)
+        and os.environ.get("FDTD_NO_KERNEL_GMRES") != "1"
+        and os.environ.get("FDTD_KERNEL_GMRES_INLINE") != "1"
+    )
+
+
 _OSTACK_DEV = {}
 
 
@@ -1201,13 +1225,7 @@ def run(args, save_dir, model_name, n_samples):
         # reproduces the healthy elements bit-identically.  Only genuinely
         # unstable discretizations stay NaN and fall through to the f64
         # host rescue / NaN-skip below.
-        if (
-            state_is_nan.any()
-            and not args.proc.cpu
-            and task.precision != "double"
-            and os.environ.get("FDTD_NO_KERNEL_GMRES") != "1"
-            and os.environ.get("FDTD_KERNEL_GMRES_INLINE") != "1"
-        ):
+        if state_is_nan.any() and kernel_gmres_rerun_enabled(task, args):
             import jax as _jax
 
             accel = [d for d in _jax.devices() if d.platform != "cpu"]
