@@ -46,8 +46,13 @@ SPLIT_ARGS = {
               # chip before the first chunk
               "task.batch_size=48"],
 }
-GRACE_S = 14 * 60   # first-item grace: compile + first batch + first writes
-STALL_S = 8 * 60    # afterwards: no new item dir for this long == wedged
+# first-item grace: compile + first batch + first writes.  Once the
+# persistent compile cache (~/.jax_fdtd_cache) is warm for the split's
+# shapes, a wedged chunk burns the whole grace producing nothing — drive
+# long fills with FDTD_GEN_GRACE_S=300 after the first chunk of each
+# split has landed (startup ~2 min + first batch ~30 s when warm).
+GRACE_S = int(os.environ.get("FDTD_GEN_GRACE_S", 14 * 60))
+STALL_S = int(os.environ.get("FDTD_GEN_STALL_S", 8 * 60))
 
 
 def count(d):
