@@ -65,6 +65,22 @@ def count(d):
         return 0
 
 
+def tpu_ready(timeout_s=90):
+    """Pre-flight probe (train_watchdog twin): a wedged relay makes every
+    jax compute hang, and a blind dispatch into a wedge burns process
+    startup + the whole grace budget producing nothing.  Probe in a
+    throwaway subprocess first (~10 s when healthy)."""
+    code = ("import jax, jax.numpy as jnp;"
+            "assert any(d.platform != 'cpu' for d in jax.devices());"
+            "print(float(jnp.ones((8, 128)).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def run_chunk(split, n, seed, out, log):
     """One simulate invocation; returns (exit_code, items_added)."""
     dest = os.path.join(out, split)
@@ -115,6 +131,10 @@ def fill(split, target, out, seed0):
         pass
     seed = seed0
     while count(dest) < target:
+        while not tpu_ready():
+            print(f"[watchdog] {split}: tpu not ready (relay wedged?); "
+                  "waiting 45 s", flush=True)
+            time.sleep(45)
         with open(cursor, "w") as f:
             f.write(str(seed))
         missing = target - count(dest)
