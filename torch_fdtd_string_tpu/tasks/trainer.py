@@ -722,6 +722,14 @@ def evaluate(args, save_dir):
             ids.append(f"0-{bi}-{i}")
             out_rows.append([float(model_scores[k][i]) for k in header])
             mod_rows.append([float(modal_scores[k][i]) for k in header])
+        # flush partial tables every few batches: a relay wedge mid-scoring
+        # keeps the rows already scored (save_test_results is a full
+        # idempotent rewrite, so the final call below stays authoritative)
+        if bi % 8 == 7:
+            save_test_results(save_dir, out_rows, header, name="output",
+                              ids=ids)
+            save_test_results(save_dir, mod_rows, header, name="modals",
+                              ids=ids)
         if task.get("plot_test_video"):
             # the test batch dim is the spatial axis of one string
             # (reference callbacks.py:137-179 PlotStateVideo.summary)
