@@ -34,8 +34,10 @@ while [ "$(last_epoch)" -lt $((EPOCHS - 1)) ] && [ ! -f "$RUN/SCORE_NOW" ]; do
   sleep 120
 done
 if [ "$(last_epoch)" -lt $((EPOCHS - 1)) ]; then
-  if ! ls "$RUN"/string/*/checkpoints/step_* "$RUN"/checkpoints/step_* \
-      >/dev/null 2>&1; then
+  # two ls calls: a single ls with both patterns fails when EITHER glob has
+  # no match, masking an existing checkpoint under the other layout
+  if ! ls "$RUN"/string/*/checkpoints/step_* >/dev/null 2>&1 \
+      && ! ls "$RUN"/checkpoints/step_* >/dev/null 2>&1; then
     echo "[post] SCORE_NOW but no checkpoint exists; nothing to score"
     exit 1
   fi
