@@ -51,6 +51,15 @@ def main(argv=None):
         os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
+    # multi-host SPMD (reference multi-node DDP analog, trainer.py:62-78):
+    # FDTD_COORD=host:port FDTD_NPROCS=N FDTD_PROC_ID=i enables it; must
+    # precede any backend use so jax.devices() is the global list
+    from torch_fdtd_string_tpu.parallel.mesh import init_distributed
+
+    if init_distributed():
+        print(f"[run] distributed: process {jax.process_index()}"
+              f"/{jax.process_count()}, {jax.device_count()} global devices")
+
     if precision == "double":
         jax.config.update("jax_enable_x64", True)
     # persistent compile cache: repeated runs of the same shapes are free

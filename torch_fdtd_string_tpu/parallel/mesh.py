@@ -13,11 +13,43 @@ one device and (b) DDP gradient all-reduce via Lightning/NCCL
 
 from __future__ import annotations
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+
+
+def init_distributed(coordinator=None, num_processes=None, process_id=None):
+    """Multi-host SPMD initialization — the honest analog of the reference's
+    multi-node Lightning DDP (reference trainer.py:62-78, with the
+    MASTER_ADDR/PORT plumbing of reference run.py:60-61 and config.yaml:17).
+
+    No-op unless a coordinator address is given (argument or ``FDTD_COORD``
+    env, format ``host:port``); process count / id come from
+    ``FDTD_NPROCS`` / ``FDTD_PROC_ID``.  Must run before the first JAX
+    backend use.  Afterwards ``jax.devices()`` is the GLOBAL device list,
+    ``make_mesh()`` spans every process, and the existing data-parallel
+    psum/NamedSharding paths ride ICI/DCN unchanged — each process feeds
+    its local shard via :func:`shard_batch`.
+    """
+    coordinator = coordinator or os.environ.get("FDTD_COORD")
+    if not coordinator:
+        return False
+    num_processes = int(num_processes
+                        if num_processes is not None
+                        else os.environ.get("FDTD_NPROCS", "1"))
+    process_id = int(process_id
+                     if process_id is not None
+                     else os.environ.get("FDTD_PROC_ID", "0"))
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
 
 
 def make_mesh(n_devices=None, devices=None):
@@ -31,17 +63,27 @@ def make_mesh(n_devices=None, devices=None):
 def shard_batch(tree, mesh):
     """Place every array leaf with a leading batch axis on the mesh.
 
-    Arrays whose leading dimension is divisible by the mesh size get
-    ``P("data", None, ...)``; everything else is replicated.
+    Arrays whose leading dimension is divisible by the per-process device
+    count get ``P("data", None, ...)``; everything else is replicated.
+    Under multi-process SPMD (``init_distributed``) each process passes its
+    LOCAL slice of the batch and the leaves are assembled into global
+    arrays via ``jax.make_array_from_process_local_data``.
     """
-    n = mesh.devices.size
+    nproc = jax.process_count()
+    n_local = max(mesh.devices.size // nproc, 1)
 
     def _put(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % n == 0 and x.shape[0] > 0:
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] > 0 \
+                and x.shape[0] % n_local == 0:
             spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
         else:
             spec = P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if nproc > 1:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            )
+        return jax.device_put(x, sharding)
 
     return jax.tree.map(_put, tree)
 

@@ -58,20 +58,32 @@ def plot_results(save_dir, split, outputs, sr, n_items=4, step=0):
     return d
 
 
-def save_test_results(save_dir, rows, header, name="output", ids=None):
+def save_test_results(save_dir, rows, header, name="output", ids=None,
+                      partial=False):
     """Score TSVs (reference callbacks.py:99-135 ``SaveTestResults``):
-    one ``id``-keyed row per test item plus a trailing mean row."""
+    one ``id``-keyed row per test item plus a trailing mean row.
+
+    ``partial=True`` marks a mid-scoring crash-resilience flush: the table
+    gets a ``# partial`` trailer instead of the mean row so no consumer can
+    mistake a prefix of the test split for final scores.  Writes are atomic
+    (temp file + ``os.replace``) so a kill mid-flush never truncates rows
+    already on disk.
+    """
     d = os.path.join(save_dir, "score")
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, f"{name}.txt")
-    with open(path, "w") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         f.write("\t".join(["id"] + list(header)) + "\n")
         for i, r in enumerate(rows):
             rid = ids[i] if ids else str(i)
             f.write("\t".join([rid] + [f"{v:.8f}" for v in r]) + "\n")
-        if rows:
+        if partial:
+            f.write(f"# partial {len(rows)} rows (scoring incomplete)\n")
+        elif rows:
             mean = np.mean(np.asarray(rows), axis=0)
             f.write("\t".join(["# mean"] + [f"{v:.8f}" for v in mean]) + "\n")
+    os.replace(tmp, path)
     return path
 
 

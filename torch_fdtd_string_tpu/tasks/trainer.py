@@ -723,13 +723,14 @@ def evaluate(args, save_dir):
             out_rows.append([float(model_scores[k][i]) for k in header])
             mod_rows.append([float(modal_scores[k][i]) for k in header])
         # flush partial tables every few batches: a relay wedge mid-scoring
-        # keeps the rows already scored (save_test_results is a full
-        # idempotent rewrite, so the final call below stays authoritative)
+        # keeps the rows already scored.  Distinct *.partial names so
+        # resume logic (tools/post_train_score.sh keys on a non-empty
+        # score/output.txt) never mistakes a prefix for final scores.
         if bi % 8 == 7:
-            save_test_results(save_dir, out_rows, header, name="output",
-                              ids=ids)
-            save_test_results(save_dir, mod_rows, header, name="modals",
-                              ids=ids)
+            save_test_results(save_dir, out_rows, header,
+                              name="output.partial", ids=ids, partial=True)
+            save_test_results(save_dir, mod_rows, header,
+                              name="modals.partial", ids=ids, partial=True)
         if task.get("plot_test_video"):
             # the test batch dim is the spatial axis of one string
             # (reference callbacks.py:137-179 PlotStateVideo.summary)
@@ -770,6 +771,10 @@ def evaluate(args, save_dir):
 
     save_test_results(save_dir, out_rows, header, name="output", ids=ids)
     save_test_results(save_dir, mod_rows, header, name="modals", ids=ids)
+    for leftover in ("output.partial.txt", "modals.partial.txt"):
+        p = os.path.join(save_dir, "score", leftover)
+        if os.path.exists(p):
+            os.remove(p)
     if eval_criteria:
         rec = {"split": "test"}
         rec.update({
