@@ -252,29 +252,57 @@ def bench_sim(B, length, bowed, deadline, reps=3):
         def run():
             return simulate_chunk(carry, steps, sp, bp, hp, bm, hm, consts)
 
-    wall = _timed(run, reps, deadline, label)
     # credit only the steps actually simulated: the pallas run truncates to
     # a chunk multiple (T), the engine scan runs all Nt-2 steps
     steps_each = T if use_pallas else int(48000 * length) - 2
     steps_n = B * steps_each
-    rate = steps_n / 48000.0 / wall
+
     # plausibility guard: a wedging TPU relay has been observed to ack
     # dispatches instantly WITHOUT computing (sub-ms "walls" for 46k-step
     # scans, i.e. >10,000 audio-s/s) shortly before hanging outright.  The
     # roofline ceiling for this kernel is a few hundred audio-s/s; never
-    # record a physically impossible number as a measurement.
-    if rate > 2000.0:
-        return {
-            "error": f"implausible_rate_{rate:.0f}_audio_s_per_s",
-            "wall_s": round(wall, 6),
-            "backend": "pallas" if use_pallas else "xla",
-        }
-    return {
+    # record a physically impossible number as a measurement.  Round-5
+    # observation: the ghost state is TRANSIENT (the same executable
+    # measured 0.34 s real wall minutes after sub-ms ghost acks), so retry
+    # with backoff while deadline budget remains instead of failing the
+    # point on the first ghost window.
+    ghosts = 0
+    while True:
+        wall = _timed(run, reps, deadline, label)
+        rate = steps_n / 48000.0 / wall
+        if rate <= 2000.0:
+            break
+        ghosts += 1
+        if time.time() > deadline - 90.0:
+            return {
+                "error": f"implausible_rate_{rate:.0f}_audio_s_per_s",
+                "wall_s": round(wall, 6),
+                "ghost_retries": ghosts,
+                "backend": "pallas" if use_pallas else "xla",
+            }
+        sys.stderr.write(
+            f"[bench] {label}: ghost ack ({rate:.0f} audio-s/s); "
+            f"retry {ghosts} in 60s\n"
+        )
+        time.sleep(60.0)
+    # materialization check: pull a scalar through the link so an acked-
+    # but-never-computed result can't be recorded (the pull forces real
+    # completion; NaN is legal for unstable draws, a hang is not)
+    import jax.numpy as jnp
+    import numpy as _np
+
+    leaf = jax.tree_util.tree_leaves(run())[0]
+    check = float(_np.asarray(jnp.sum(jnp.abs(leaf[:, :64]))))
+    out = {
         "audio_s_per_s": round(rate, 3),
         "string_steps_per_sec": round(steps_n / wall),
         "wall_s": round(wall, 4),
+        "check_sum": round(check, 3),
         "backend": "pallas" if use_pallas else "xla",
     }
+    if ghosts:
+        out["ghost_retries"] = ghosts
+    return out
 
 
 def bench_nsynth_e2e(n_samples, deadline):
