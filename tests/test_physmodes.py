@@ -122,3 +122,42 @@ class TestSynthesizerPhysicsPath:
         # fundamental near 220 Hz sharpened by stiffness (~4% at kappa=.02)
         hz0 = float(in_freq[0, 0, 0]) * SR / (2 * np.pi)
         assert 218.0 < hz0 < 240.0, hz0
+
+    def test_physics_estimator_conditions_on_frame0(self):
+        """Glide/vibrato strings: the base mode computation must use the
+        clip's FIRST f0 frame — the dataset tables are built at onset
+        omega_0 and the linear-FM shift is relative to frame 0 (round-4
+        valid/modefreq floor, VERDICT r4 weak #6).  A 5% glide between
+        frame 0 and frame 9 must not move in_freq."""
+        from torch_fdtd_string_tpu.models.synthesizer import Synthesizer
+
+        B, Nt, block = 1, 4096, 256
+        n_frames = Nt // block + 1
+        model = Synthesizer(
+            n_modes=12, n_bands=9, hidden_dim=32, embed_dim=16,
+            block_size=block, mode_estimator="physics",
+        )
+        rngs = {"params": jax.random.key(0), "noise": jax.random.key(1)}
+        xg = jnp.full((B, 1), 0.3)
+        tg = jnp.tile(jnp.arange(Nt) / SR, (B, 1))
+        ka = jnp.full((B, 1), 0.02)
+        al = jnp.full((B, 1), 2.0)
+        t60 = jnp.tile(jnp.array([[[100.0, 12.0], [2000.0, 9.0]]]),
+                       (B, 1, 1))
+        u0 = jnp.zeros((B, 1, 256)).at[:, 0, 77].set(0.01)
+        params = [xg, tg, ka, al, t60, None, None]
+
+        f0_const = jnp.full((B, n_frames), 220.0)
+        glide = 220.0 * (1.0 + 0.05 * jnp.arange(n_frames) / (n_frames - 1))
+        f0_glide = jnp.tile(glide[None], (B, 1))
+
+        variables = model.init(rngs, params, f0_const, u0)
+        _, (fr_const, _), _ = model.apply(
+            variables, params, f0_const, u0,
+            rngs={"noise": jax.random.key(2)})
+        _, (fr_glide, _), _ = model.apply(
+            variables, params, f0_glide, u0,
+            rngs={"noise": jax.random.key(2)})
+        # identical frame-0 f0 -> identical base mode tables
+        np.testing.assert_allclose(np.asarray(fr_const),
+                                   np.asarray(fr_glide), rtol=1e-6)

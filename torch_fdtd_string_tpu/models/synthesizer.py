@@ -187,11 +187,21 @@ class Synthesizer(nn.Module):
         if self.mode_estimator == "physics":
             from .physmodes import PhysicsModeEstimator
 
+            # the physics path must condition on frame 0, not the
+            # reference's frame 9: the dataset mode tables are built at
+            # onset omega_0 and the linear-FM term below is relative to
+            # frame 0 (``relf0 = omega - omega[:, :1]``), so the base
+            # computation belongs at frame 0 too.  Frame 9 is fine as an
+            # arbitrary conditioning feature for the LEARNED estimator,
+            # but for the exact computation it detunes every mode by
+            # omega_9 - omega_0 for the whole clip on glide/vibrato
+            # strings (measured: the entire 2e-3 valid/modefreq floor of
+            # the round-4 run; frame 0 matches the tables to 0.0)
             in_coef, in_freq = PhysicsModeEstimator(
                 self.n_modes,
                 tuple(self.kappa_scale),
                 sr=self.sr,
-            )(initial, space, kappa, gamma[:, gi : gi + 1], t60)
+            )(initial, space, kappa, gamma[:, :1], t60)
         else:
             in_coef, in_freq = ModeEstimator(
                 self.n_modes,
