@@ -70,15 +70,18 @@ def yin_track(wav, sr, hop_s=0.01, frame_s=0.064, fmin=32.0, fmax=2000.0,
     w = fr - fr.mean(-1, keepdims=True)
     f = jnp.fft.rfft(w, 2 * frame)
     acf = jnp.fft.irfft(f * jnp.conj(f))[..., : tau_max + 1]
-    energy = jnp.cumsum(w**2, axis=-1)
-    e0 = acf[..., 0:1]
-    e_tau = e0 - jnp.concatenate(
-        [jnp.zeros_like(e0), energy[..., :tau_max]], axis=-1
-    )
-    d = e0 + e_tau - 2.0 * acf
-    d = d.at[..., 0].set(0.0)
-
     ar = jnp.arange(tau_max + 1)
+    # exact truncated-window difference function (utils/frequency.py twin):
+    # d(tau) = E[0..n-tau-1] + E[tau..n-1] - 2 acf(tau)
+    E = jnp.cumsum(w**2, axis=-1)
+    Etot = E[..., -1:]
+    term1 = E[..., frame - 1 - ar]
+    term2 = Etot - jnp.concatenate(
+        [jnp.zeros_like(Etot), E[..., :tau_max]], axis=-1
+    )
+    d = (term1 + term2 - 2.0 * acf) * (frame / (frame - ar))
+    d = d.at[..., 0].set(0.0)
+    e0 = Etot  # shape (..., 1) broadcast helper for the ones-column below
     cum = jnp.cumsum(d[..., 1:], axis=-1)
     cmndf = jnp.concatenate(
         [
@@ -103,10 +106,23 @@ def yin_track(wav, sr, hop_s=0.01, frame_s=0.064, fmin=32.0, fmax=2000.0,
     fallback = jnp.argmin(jnp.where(valid, cmndf, jnp.inf), axis=-1)
     tau_i = jnp.where(any_below, walk_t, fallback)
 
-    # parabolic interpolation around the dip
+    # subharmonic guard (utils/frequency.py twin): prefer an equally deep
+    # dip at ~tau/2 — noise can push the true dip just over threshold while
+    # the 2-period dip stays under
+    t2 = jnp.clip(tau_i // 2, 1, tau_max - 1)
+    t2n = jnp.stack([t2 - 1, t2, t2 + 1], axis=-1)
+    sub3 = jnp.take_along_axis(cmndf, t2n, axis=-1)
+    t2 = t2 + jnp.argmin(sub3, axis=-1) - 1
+    cm_t2 = jnp.take_along_axis(cmndf, t2[..., None], axis=-1)[..., 0]
+    cm_ti = jnp.take_along_axis(cmndf, tau_i[..., None], axis=-1)[..., 0]
+    take = (t2 >= tau_min) & (cm_t2 < jnp.maximum(threshold, 1.15 * cm_ti))
+    tau_i = jnp.where(take, t2, tau_i)
+
+    # parabolic interpolation of the RAW difference function around the dip
+    # (de Cheveigné step 5; utils/frequency.py twin)
     def _at(off):
         return jnp.take_along_axis(
-            cmndf, jnp.clip(tau_i + off, 0, tau_max)[..., None], axis=-1
+            d, jnp.clip(tau_i + off, 0, tau_max)[..., None], axis=-1
         )[..., 0]
 
     a, b, c = _at(-1), _at(0), _at(1)
@@ -122,7 +138,38 @@ def yin_track(wav, sr, hop_s=0.01, frame_s=0.064, fmin=32.0, fmax=2000.0,
         f0 = jnp.median(
             jnp.stack([fp[:, :-2], fp[:, 1:-1], fp[:, 2:]], axis=-1), axis=-1
         )
-    return f0
+
+    # spectral refinement (utils/frequency._refine_spectral twin): parabolic
+    # log-magnitude interpolation of the Hann-spectrum peak nearest the YIN
+    # estimate; gated to ±3% so octave decisions stay with YIN
+    pad_mult = 4
+    win = jnp.asarray(np.hanning(frame), fr.dtype)
+    nfft = pad_mult * frame
+    mag = jnp.abs(jnp.fft.rfft(fr * win, nfft))
+    n_bins = nfft // 2 + 1
+    k0 = jnp.round(jnp.clip(f0, 0.0, sr / 2.0) * nfft / sr).astype(jnp.int32)
+    k0 = jnp.clip(k0, 2, n_bins - 3)
+    span = jnp.arange(-pad_mult, pad_mult + 1)
+    cand = jnp.clip(k0[..., None] + span, 1, n_bins - 2)  # (B, F, 2p+1)
+    sub = jnp.take_along_axis(mag, cand, axis=-1)
+    kpk = jnp.take_along_axis(
+        cand, jnp.argmax(sub, axis=-1)[..., None], axis=-1
+    )[..., 0]
+
+    def _lm(off):
+        return jnp.log(jnp.take_along_axis(
+            mag, (kpk + off)[..., None], axis=-1
+        )[..., 0] + 1e-30)
+
+    la, lb, lc = _lm(-1), _lm(0), _lm(1)
+    den = la - 2.0 * lb + lc
+    delta = jnp.where(
+        den != 0, 0.5 * (la - lc) / jnp.where(den == 0, 1.0, den), 0.0
+    )
+    delta = jnp.clip(delta, -0.5, 0.5)
+    f_ref = (kpk + delta) * (sr / nfft)
+    ok = (f0 > 0) & (jnp.abs(f_ref - f0) < 0.03 * jnp.maximum(f0, 1e-9))
+    return jnp.where(ok, f_ref, f0)
 
 
 # ---------------------------------------------------------------------------

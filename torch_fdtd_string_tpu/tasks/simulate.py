@@ -1562,9 +1562,48 @@ def run(args, save_dir, model_name, n_samples):
             (np.asarray(is_silent) & ~state_is_nan).sum()
         )
         batch_stat["written"] = 0
+        def _dump_draw(b, why):
+            # full parameter bundle so tools/attrition_study.py can re-run
+            # the exact draw through the reference f64 engine (skip-rate
+            # parity vs ref NaN-skip semantics, ref simulate.py:91-93)
+            np.savez(
+                f"{save_dir}/draw-{dx}-{b}.npz",
+                why=why,
+                kappa=np.asarray(string.kappa)[b],
+                alpha=np.asarray(string.alpha)[b],
+                u0=np.asarray(string.u0)[b],
+                v0=np.asarray(string.v0)[b],
+                p_a=np.asarray(string.p_a)[b],
+                f0=np.asarray(string.f0)[b],
+                pos=np.asarray(string.pos)[b],
+                T60=np.asarray(string.T60)[b],
+                x_b=np.asarray(bow.x_b)[b],
+                v_b=np.asarray(bow.v_b)[b],
+                F_b=np.asarray(bow.F_b)[b],
+                phi_0=np.asarray(bow.phi_0)[b],
+                phi_1=np.asarray(bow.phi_1)[b],
+                wid=np.asarray(bow.wid)[b],
+                x_H=np.asarray(hammer.x_H)[b],
+                v_H=np.asarray(hammer.v_H)[b],
+                u_H=np.asarray(hammer.u_H)[b],
+                w_H=np.asarray(hammer.w_H)[b],
+                M_r=np.asarray(hammer.M_r)[b],
+                alpha_H=np.asarray(hammer.alpha)[b],
+                bow_mask=np.asarray(bow_mask)[b],
+                hammer_mask=np.asarray(hammer_mask)[b],
+                k=sim_consts.k, theta_t=sim_consts.theta_t,
+                lambda_c=sim_consts.lambda_c,
+                relative_error=sim_consts.relative_error,
+                M_t=sim_consts.M_t, M_l=sim_consts.M_l,
+                surface_integral=sim_consts.surface_integral,
+            )
+
         skipped_detail = []
         for b in range(task.batch_size):
-            if state_is_nan[b] or (task.skip_silence and is_silent[b]):
+            skipped_here = state_is_nan[b] or (
+                task.skip_silence and is_silent[b]
+            )
+            if skipped_here:
                 skipped_detail.append({
                     "b": int(b),
                     "why": "nan" if state_is_nan[b] else "silent",
@@ -1572,6 +1611,12 @@ def run(args, save_dir, model_name, n_samples):
                     "alpha": round(float(np.asarray(string.alpha)[b]), 3),
                     "p_a": round(float(np.asarray(string.p_a)[b]), 4),
                 })
+            if task.get("dump_draws") or (
+                skipped_here and task.get("dump_skipped")
+            ):
+                _dump_draw(
+                    b, skipped_detail[-1]["why"] if skipped_here else "kept"
+                )
             if state_is_nan[b]:
                 continue
             if task.skip_silence and is_silent[b]:
