@@ -392,3 +392,26 @@ def test_summarize_mixed_headers(tmp_path, capsys):
     mean_line = [l for l in open(tmp_path / "summary.txt")
                  if l.startswith("mean")][0].split("\t")
     assert abs(float(mean_line[1]) - 0.5) < 1e-6
+
+
+def test_rainbowgram_hsv_smoke(tmp_path):
+    """Reference-style hsv/log-axis rainbowgram with overlays renders
+    (reference plot.py:325-394 twin)."""
+    import numpy as np
+
+    from torch_fdtd_string_tpu.utils.plot import rainbowgram_hsv
+
+    sr = 48000
+    t = np.arange(sr // 2) / sr
+    wav = sum(
+        (0.5 / k) * np.sin(2 * np.pi * k * 220.0 * t) * np.exp(-3 * t)
+        for k in range(1, 8)
+    )
+    out = tmp_path / "rb.png"
+    rainbowgram_hsv(
+        str(out), wav, sr,
+        f0_input=220.0 * np.ones(20),
+        f0_estimate=221.0 * np.ones(20),
+        modes=[220.0 * k * np.ones(20) for k in (1, 2)],
+    )
+    assert out.exists() and out.stat().st_size > 10_000

@@ -71,6 +71,15 @@ def evaluate_dir(sim_dir, sr=48000, plot=True):
             wsr,
             f0_input=f0_tgt if f0_tgt.ndim else None,
         )
+        # reference-style hsv/log-axis variant with the tracked-f0 overlay
+        # (reference plot.py:325-394; evaluate.py:62-63)
+        uplot.rainbowgram_hsv(
+            os.path.join(sim_dir, "eval_f0_hsv.png"),
+            wav,
+            wsr,
+            f0_input=f0_tgt if f0_tgt.ndim else None,
+            f0_estimate=f0_est,
+        )
     return scores
 
 

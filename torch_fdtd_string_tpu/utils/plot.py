@@ -69,6 +69,88 @@ def rainbowgram(path, wav, sr, f0_input=None, n_fft=1024, hop=256, colorbar=Fals
     plt.close(fig)
 
 
+def rainbowgram_hsv(path, wav, sr, f0_input=None, f0_estimate=None,
+                    modes=None, colorbar=True, n_fft=None):
+    """Reference-style rainbowgram (reference plot.py:325-394): hsv-colored
+    demodulated phase derivative with dB-magnitude alpha on a log-frequency
+    axis, black background, white overlays for f0 input/estimate and mode
+    trajectories.  Self-written STFT/display (no librosa).
+    """
+    wav = np.asarray(wav, np.float64)
+    L = 32
+    if n_fft is None:
+        n_fft = 2**13 if wav.shape[-1] > 2 * 2**13 else wav.shape[-1] // 2
+    hop = max(n_fft // L, 1)
+    rms = np.sqrt(np.mean(wav**2)) + 1e-12
+    w = wav / rms * 10 ** (-24 / 20)  # rms_normalize twin (-24 dB default)
+
+    window = np.hanning(n_fft)
+    pad = n_fft // 2
+    xp = np.pad(w, (pad, pad), mode="reflect")
+    n_frames = 1 + (len(xp) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    D = np.fft.rfft(xp[idx] * window, axis=-1).T  # (freq, time)
+    mag = np.abs(D)
+
+    freqs = np.fft.rfftfreq(n_fft, 1.0 / sr)
+    times = np.arange(n_frames) * hop / sr
+    t_max = wav.shape[-1] / sr
+
+    # demodulate each bin by its expected phase advance, then the scaled
+    # unwrapped time-derivative is the instantaneous-frequency deviation
+    phase_exp = 2 * np.pi * np.multiply.outer(freqs, times)
+    unwrapped = np.unwrap((np.angle(D) - phase_exp) / (L / 4), axis=1)
+    dphase = np.diff(unwrapped, axis=1, prepend=0)
+
+    db = 20 * np.log10(mag / (mag.max() + 1e-30) + 1e-30)
+    alpha = np.clip(db / 80.0 + 1.0, 0.0, 1.0)
+
+    fig, ax = plt.subplots(figsize=(7, 7))
+    cmap = plt.get_cmap("hsv")
+    rgba = cmap((dphase + np.pi) / (2 * np.pi))
+    rgba[..., -1] = alpha
+    ax.imshow(
+        rgba[1:], origin="lower", aspect="auto",
+        extent=[0, times[-1] if len(times) > 1 else t_max,
+                freqs[1], freqs[-1]],
+        interpolation="nearest",
+    )
+    ax.set_yscale("log")
+    ax.set_ylim(max(freqs[1], 16.0), sr / 2)
+    ax.set_facecolor("#000")
+    if colorbar:
+        import matplotlib.cm as mcm
+        from matplotlib.colors import Normalize
+
+        sm = mcm.ScalarMappable(Normalize(-np.pi, np.pi), cmap)
+        cbar = fig.colorbar(
+            sm, ticks=[-np.pi, -np.pi / 2, 0, np.pi / 2, np.pi], ax=ax
+        )
+        cbar.ax.set(yticklabels=[r"$-\pi$", r"$-\pi/2$", "$0$",
+                                 r"$\pi/2$", r"$\pi$"])
+
+    def add_plot(f, dashes):
+        f = np.atleast_1d(np.asarray(f, np.float64))
+        x = np.linspace(1 / sr, t_max, f.shape[-1])
+        fi = np.interp(times, x, f)
+        (line,) = ax.plot(times, fi, color="white", lw=2.0)
+        line.set_dashes(dashes)
+        return line
+
+    if f0_input is not None:
+        add_plot(f0_input, (10, 5))
+    if f0_estimate is not None:
+        add_plot(f0_estimate, (2, 5))
+    if modes is not None:
+        for m in modes:
+            add_plot(m, (5, 10, 1, 10))
+    ax.xaxis.set_visible(False)
+    ax.yaxis.set_visible(False)
+    fig.tight_layout()
+    fig.savefig(path, bbox_inches="tight", facecolor="black")
+    plt.close(fig)
+
+
 def phase_diagram(path, wav, sr, tau=1, label=r"$u$"):
     """(u, du/dt) phase portrait (reference plot.py:396+)."""
     wav = np.asarray(wav, np.float64)
