@@ -161,3 +161,38 @@ class TestSynthesizerPhysicsPath:
         # identical frame-0 f0 -> identical base mode tables
         np.testing.assert_allclose(np.asarray(fr_const),
                                    np.asarray(fr_glide), rtol=1e-6)
+
+    def test_amp_adaptive_noise_scales_with_amplitude(self):
+        """model.amp_adaptive_noise: the filtered-noise floor must track
+        the modal amplitude envelope — a 10x quieter pluck gets a ~10x
+        quieter noise branch (round-4 scores: fixed-floor noise drowns
+        small-p_a strings)."""
+        from torch_fdtd_string_tpu.models.synthesizer import Synthesizer
+
+        B, Nt, block = 2, 2048, 256
+        n_frames = Nt // block + 1
+        model = Synthesizer(
+            n_modes=12, n_bands=9, hidden_dim=32, embed_dim=16,
+            block_size=block, mode_estimator="physics",
+            amp_adaptive_noise=True,
+        )
+        rngs = {"params": jax.random.key(0), "noise": jax.random.key(1)}
+        xg = jnp.full((B, 1), 0.3)
+        tg = jnp.tile(jnp.arange(Nt) / SR, (B, 1))
+        ka = jnp.full((B, 1), 0.02)
+        al = jnp.full((B, 1), 2.0)
+        t60 = jnp.tile(jnp.array([[[100.0, 12.0], [2000.0, 9.0]]]),
+                       (B, 1, 1))
+        f0 = jnp.full((B, n_frames), 220.0)
+        # element 0: p_a = 0.01; element 1: 10x quieter
+        u0 = jnp.zeros((B, 1, 256))
+        u0 = u0.at[0, 0, 77].set(0.01).at[1, 0, 77].set(0.001)
+        params = [xg, tg, ka, al, t60, None, None]
+        variables = model.init(rngs, params, f0, u0)
+        ut, _, _ = model.apply(
+            variables, params, f0, u0, rngs={"noise": jax.random.key(2)})
+        # output scale must follow the input amplitude (within 3x of the
+        # 10x ratio; an amplitude-blind noise floor fails this by >5x)
+        r0 = float(jnp.sqrt(jnp.mean(ut[0] ** 2)))
+        r1 = float(jnp.sqrt(jnp.mean(ut[1] ** 2)))
+        assert r0 / max(r1, 1e-12) > 3.0, (r0, r1)

@@ -57,6 +57,15 @@ class DMSPCore(nn.Module):
     n_bands: int
     block_size: int
     sr: int
+    # reference parity: the filtered-noise level is a function of the
+    # conditioning features only — it carries NO amplitude information
+    # (p_a enters the model solely through mode_coef), so the corpus
+    # trains one average noise floor that drowns quiet (small-p_a)
+    # strings (round-4 scores: p_a first-quartile items lose ~12 dB
+    # si-sdr).  amp_adaptive_noise=True scales the noise filter by the
+    # per-frame modal amplitude envelope instead — physically, excitation
+    # noise rides the excitation amplitude and decays with the string.
+    amp_adaptive_noise: bool = False
 
     @nn.compact
     def __call__(self, hidden, mode_freq, mode_coef, times, alpha, omega, lengths):
@@ -74,6 +83,14 @@ class DMSPCore(nn.Module):
         harmonic = modal_synth(freq_s, coef_s, jnp.ones_like(freq_s[..., :1]))
 
         param = scale_function(nn.Dense(self.n_bands)(hidden) - 5.0)
+        if self.amp_adaptive_noise:
+            env = jnp.sqrt(jnp.mean(coef_m**2, axis=-1, keepdims=True))
+            s = self.param("noise_env_gain",
+                           lambda *_: jnp.array(1.0, jnp.float32), ())
+            # reference-scale continuity: the average envelope over the
+            # nsynth corpus is O(1e-3), so seed the per-envelope gain high
+            # enough that the branch starts near the parity noise level
+            param = param * (50.0 * s * env)
         impulse = amp_to_impulse_response(param, self.block_size)
         key = self.make_rng("noise")
         noise = (
@@ -148,6 +165,7 @@ class Synthesizer(nn.Module):
     # "physics": embedded dispersion tables + in-jit amp fit
     # (models/physmodes.py) — exact to ~2e-5, no learned parameters
     mode_estimator: str = "mlp"
+    amp_adaptive_noise: bool = False
     x_scale: Sequence[float] = (0.0, 1.0)
     t_scale: Sequence[float] = (0.0, 0.3)
     gamma_scale: Sequence[float] = (196.0, 880.0)
@@ -253,6 +271,7 @@ class Synthesizer(nn.Module):
                 n_bands=self.n_bands,
                 block_size=self.block_size,
                 sr=self.sr,
+                amp_adaptive_noise=self.amp_adaptive_noise,
             )
         else:
             core = DDSPCore(
