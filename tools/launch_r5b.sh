@@ -1,0 +1,39 @@
+#!/bin/bash
+# Round-5 scale-up chain (VERDICT r4 missing #1: reference-scale corpus):
+# regenerate the dmsp20k corpus with the fused path (stride-32 kept
+# columns, x-offset jitter, NaN-skip), prebuild host prep caches on CPU,
+# train the physics-estimator flagship (frame-0 conditioning fix), and
+# score BEST under the honest inference protocol.
+#
+#   nohup tools/launch_r5b.sh >> /tmp/launch_r5b.log 2>&1 &
+#   RUN=results/dmsp-train-r5b EPOCHS=$EPOCHS LOAD_NAME=dmsp20k \
+#     SCORE_EXTRA=model.mode_estimator=physics \
+#     nohup bash tools/post_train_score.sh >> /tmp/post_score_r5b.log 2>&1 &
+#
+# Safe to re-run: corpus fill resumes via seed cursors, cache prebuild
+# skips existing files, training resumes from the latest checkpoint.
+set -u
+cd "$(dirname "$0")/.."
+CORPUS=${CORPUS:-results/dmsp20k}
+TRAIN_N=${TRAIN_N:-20160}
+EVAL_N=${EVAL_N:-96}
+EPOCHS=${EPOCHS:-60}
+XS=${XS:-2}
+
+FDTD_GEN_GRACE_S=${FDTD_GEN_GRACE_S:-840} python tools/gen_watchdog.py \
+  --out "$CORPUS" --train "$TRAIN_N" --evalsz "$EVAL_N"
+echo "[r5b] corpus ready: $(ls "$CORPUS/train" | wc -l) strings ($(date -u +%H:%M:%S))"
+
+NAME=$(basename "$CORPUS")
+PYTHONPATH= JAX_PLATFORMS=cpu python tools/prebuild_cache.py \
+  --load-name "$NAME" --x-stride "$XS" --splits train,valid,test || true
+PYTHONPATH= JAX_PLATFORMS=cpu python tools/prebuild_cache.py \
+  --load-name "$NAME" --x-stride 1 --splits test || true
+echo "[r5b] caches built ($(date -u +%H:%M:%S)); starting training watchdog"
+
+FDTD_CACHE_F16=1 FDTD_DEVICE_CACHE_GB=12 \
+  python tools/train_watchdog.py --load-name "$NAME" \
+  --save-dir results/dmsp-train-r5b --epochs "$EPOCHS" --x-stride "$XS" \
+  --deadline-ts "${DEADLINE_TS:-0}" \
+  model.mode_estimator=physics \
+  task.valid_batch_size=64 task.test_batch_size=64
