@@ -483,7 +483,42 @@ def bench_dmsp_step(deadline, B=128, reps=5):
     }
 
 
+SECTION_FNS = {
+    "pluck_b16": (16, 1.0, False),
+    "pluck_b256": (256, 1.0, False),
+    "bow_b16": (16, 1.0, True),
+}
+
+
+def run_single_section(name):
+    """Fresh-process kernel section (``bench.py --section <name>``).
+
+    The relay's ghost state has been observed to stick to a process's
+    backend connection while a freshly started process computes normally;
+    the in-process retry loop in bench_sim cannot recover from that, so
+    main() re-dispatches a ghosted kernel section here once.
+    """
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_CACHE_DIR",
+                       os.path.expanduser("~/.jax_fdtd_cache")),
+    )
+    B, length, bowed = SECTION_FNS[name]
+    deadline = time.time() + float(
+        os.environ.get("BENCH_SECTION_BUDGET_S", "420"))
+    try:
+        r = bench_sim(B, length, bowed, deadline)
+    except Exception as err:
+        r = {"error": f"{type(err).__name__}: {err}"}
+    print("BENCH_SECTION " + json.dumps(r), flush=True)
+
+
 def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--section":
+        run_single_section(sys.argv[2])
+        return
     if os.environ.get("_BENCH_CHILD") != "1":
         import subprocess
 
@@ -542,6 +577,41 @@ def main():
         if os.environ.get("BENCH_E2E", "1") == "1":
             section("nsynth100_e2e", bench_nsynth_e2e, 100, deadline)
         section("dmsp_train_step", bench_dmsp_step, deadline)
+
+    # sticky-connection ghost recovery: a section that exhausted its
+    # in-process ghost retries gets ONE fresh-process re-dispatch (fresh
+    # backend connection), budgeted from the remaining global deadline
+    if not fast:
+        import subprocess
+
+        for name in SECTION_FNS:
+            ent = matrix.get(name)
+            budget = deadline - time.time()
+            if not (isinstance(ent, dict)
+                    and "implausible_rate" in str(ent.get("error", ""))
+                    and budget > 120):
+                continue
+            sys.stderr.write(f"[bench] {name}: ghosted section -> "
+                             "fresh-process retry\n")
+            env2 = dict(os.environ)
+            env2["BENCH_SECTION_BUDGET_S"] = str(int(min(budget - 60, 420)))
+            try:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--section", name],
+                    env=env2, capture_output=True, text=True,
+                    timeout=min(budget - 30, 600),
+                )
+                lines = [ln for ln in r.stdout.splitlines()
+                         if ln.startswith("BENCH_SECTION ")]
+                if lines:
+                    fresh = json.loads(lines[-1][len("BENCH_SECTION "):])
+                    fresh["fresh_process_retry"] = True
+                    if "error" not in fresh or "error" in matrix[name]:
+                        matrix[name] = fresh
+            except Exception as err:
+                sys.stderr.write(f"[bench] {name} fresh retry failed: "
+                                 f"{err}\n")
 
     head = matrix.get("pluck_b16", {})
     value = head.get("audio_s_per_s", 0.0)

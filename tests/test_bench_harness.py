@@ -154,3 +154,18 @@ def test_bench_sim_ghost_retry_recovers(bench_mod, monkeypatch):
     assert res["ghost_retries"] == 1
     assert res["audio_s_per_s"] == pytest.approx(4 * 47998 / 48000, rel=1e-3)
     assert "check_sum" in res
+
+
+def test_run_single_section_prints_json(bench_mod, monkeypatch, capsys):
+    """--section mode: one BENCH_SECTION json line on stdout (the fresh-
+    process ghost-recovery transport)."""
+    monkeypatch.setattr(bench_mod, "bench_sim",
+                        lambda B, length, bowed, deadline: {
+                            "audio_s_per_s": 41.0, "backend": "pallas"})
+    bench_mod.run_single_section("pluck_b16")
+    out = capsys.readouterr().out
+    line = [ln for ln in out.splitlines()
+            if ln.startswith("BENCH_SECTION ")][-1]
+    import json as _json
+
+    assert _json.loads(line[len("BENCH_SECTION "):])["audio_s_per_s"] == 41.0
