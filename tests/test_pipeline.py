@@ -423,3 +423,43 @@ def test_corpus_mode_skips_readout_artifacts(tmp_path):
         assert key in z.files, key
     assert len(g.glob(items[0] + "/ut-*.wav")) == 16
     assert os.path.exists(os.path.join(items[0], "vt.wav"))
+
+
+def test_dump_draws_bundles(tmp_path):
+    """task.dump_draws writes one full parameter bundle per batch element
+    with why in {kept, nan, silent} — the attrition-study input contract
+    (tools/attrition_study.py re-runs these through the reference f64
+    engine)."""
+    import glob as g
+
+    from torch_fdtd_string_tpu.tasks import simulate as sim_task
+    from torch_fdtd_string_tpu.utils.config import compose
+
+    cfg_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "torch_fdtd_string_tpu", "configs",
+    )
+    out = tmp_path / "draws"
+    args = compose(cfg_dir, [
+        "experiment=nsynth-like",
+        "task.num_samples=2", "task.batch_size=2", "task.length=0.1",
+        "task.chunk_length=0.1", "task.randomize_name=false",
+        "task.save_x_stride=4", "task.process_Nx=64", "proc.cpu=true",
+        "task.save=false", "task.save_modal=false",
+        "task.dump_draws=true",
+    ])
+    os.makedirs(out, exist_ok=True)
+    sim_task.run(args, str(out), "pluck", 1)
+
+    dumps = sorted(g.glob(str(out) + "/draw-*.npz"))
+    assert len(dumps) == 2, dumps
+    z = np.load(dumps[0], allow_pickle=True)
+    assert str(z["why"]) in ("kept", "nan", "silent")
+    for key in ("kappa", "alpha", "u0", "v0", "p_a", "f0", "pos", "T60",
+                "x_b", "v_b", "F_b", "phi_0", "phi_1", "wid",
+                "x_H", "v_H", "u_H", "w_H", "M_r", "alpha_H",
+                "bow_mask", "hammer_mask", "k", "theta_t", "lambda_c",
+                "relative_error", "M_t", "M_l", "surface_integral"):
+        assert key in z.files, key
+    # the f0 control covers the full run and the state profile is live
+    assert np.asarray(z["f0"]).size >= int(0.1 * 48000)
