@@ -4,6 +4,9 @@ The registry keyed by ``task.loss_criteria`` mirrors reference
 ``synthesize.py:135-148``: l1 (scale-invariant), f0, fk, sisdr, fft,
 magspec/melspec (multi-resolution STFT, replacing the auraloss dependency),
 modefreq, modeamps.
+
+The reference's GAN losses (loss.py:288-310) are dead code there — no
+string task or config selects them — and are intentionally not reproduced.
 """
 
 from __future__ import annotations
