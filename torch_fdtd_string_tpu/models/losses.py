@@ -66,7 +66,17 @@ def l1_loss(preds, target, scale_invariance=True, weight=1.0):
 
 
 def f0_loss(preds_f0, target_f0, scale=1.0, weight=10.0):
-    """Normalised f0 L1 (loss.py:268-286)."""
+    """Normalised f0 L1 (loss.py:268-286).
+
+    Normalisation uses the WITHIN-BATCH mean/std of the target track
+    (reference parity), so the logged value depends on batch composition:
+    with sequential loaders a batch covers few distinct strings and the
+    std shrinks, inflating the loss.  Concretely, a perfect pre-FM model
+    scores 0.64 on the x_stride=1 dmsp2k valid split at batch 64 but 0.31
+    on the x_stride=2 split — valid/f0 is NOT comparable across runs with
+    different strides/batch sizes.  Compare the Hz-denominated f0_error in
+    the score tables instead (item_scores), which is normalisation-free.
+    """
     mean = jnp.mean(target_f0)
     std = jnp.std(target_f0 - mean) + 1e-12
     p = (preds_f0 - mean) / std * scale
