@@ -20,8 +20,21 @@ EVAL_N=${EVAL_N:-96}
 EPOCHS=${EPOCHS:-60}
 XS=${XS:-2}
 
-FDTD_GEN_GRACE_S=${FDTD_GEN_GRACE_S:-840} python tools/gen_watchdog.py \
-  --out "$CORPUS" --train "$TRAIN_N" --evalsz "$EVAL_N"
+# Bound the regen by the chain deadline (minus an hour for caches+train):
+# an unbounded gen_watchdog running past the deadline would hold the chip
+# through the driver's end-of-round bench.
+GEN_BUDGET=0
+if [ "${DEADLINE_TS:-0}" -gt 0 ] 2>/dev/null; then
+  GEN_BUDGET=$(( DEADLINE_TS - $(date +%s) - 3600 ))
+fi
+if [ "$GEN_BUDGET" -gt 0 ]; then
+  FDTD_GEN_GRACE_S=${FDTD_GEN_GRACE_S:-840} timeout "$GEN_BUDGET" \
+    python tools/gen_watchdog.py \
+    --out "$CORPUS" --train "$TRAIN_N" --evalsz "$EVAL_N" || true
+else
+  FDTD_GEN_GRACE_S=${FDTD_GEN_GRACE_S:-840} python tools/gen_watchdog.py \
+    --out "$CORPUS" --train "$TRAIN_N" --evalsz "$EVAL_N"
+fi
 echo "[r5b] corpus ready: $(ls "$CORPUS/train" | wc -l) strings ($(date -u +%H:%M:%S))"
 
 NAME=$(basename "$CORPUS")
