@@ -20,12 +20,30 @@ EVAL_N=${EVAL_N:-96}
 EPOCHS=${EPOCHS:-60}
 XS=${XS:-2}
 
+# Priority 1 (round-5 score attribution): the adaptive-noise ablation —
+# the quietest p_a quartile is the single remaining slice that loses to
+# the modal baseline, and amp_adaptive_noise targets exactly it.  The
+# dmsp2k chain fits in ~75 min; the 20k scale-up below cannot complete in
+# any realistic remaining window, so it runs second as a stretch goal.
+if [ ! -s results/dmsp-train-r5n/score/output.txt ]; then
+  DEADLINE_TS=${DEADLINE_TS:-0} bash tools/launch_r5n.sh
+  # keep the chip free while the detached r5n scorer works
+  for _ in $(seq 60); do
+    [ -s results/dmsp-train-r5n/score/output.txt ] && break
+    sleep 60
+  done
+fi
+
 # Bound the regen by the chain deadline (minus an hour for caches+train):
 # an unbounded gen_watchdog running past the deadline would hold the chip
 # through the driver's end-of-round bench.
 GEN_BUDGET=0
 if [ "${DEADLINE_TS:-0}" -gt 0 ] 2>/dev/null; then
   GEN_BUDGET=$(( DEADLINE_TS - $(date +%s) - 3600 ))
+  if [ "$GEN_BUDGET" -le 0 ]; then
+    echo "[r5b] no window left for the corpus regen; stopping before gen"
+    exit 0
+  fi
 fi
 if [ "$GEN_BUDGET" -gt 0 ]; then
   FDTD_GEN_GRACE_S=${FDTD_GEN_GRACE_S:-840} timeout "$GEN_BUDGET" \
