@@ -262,17 +262,46 @@ def bench_sim(B, length, bowed, deadline, reps=3):
     # scans, i.e. >10,000 audio-s/s) shortly before hanging outright.  The
     # roofline ceiling for this kernel is a few hundred audio-s/s; never
     # record a physically impossible number as a measurement.  Round-5
-    # observation: the ghost state is TRANSIENT (the same executable
-    # measured 0.34 s real wall minutes after sub-ms ghost acks), so retry
-    # with backoff while deadline budget remains instead of failing the
-    # point on the first ghost window.
+    # observations: (a) the ghost state can be transient (the same
+    # executable measured 0.34 s real wall minutes after sub-ms ghost
+    # acks), and (b) it breaks ONLY the async wall — real compute keeps
+    # working through the same connection (training/scoring/attrition all
+    # produced valid results during an afternoon-long ghost window).  So on
+    # a ghost ack, switch to PULL-TIMED measurement: time until a scalar
+    # reduction of the result materializes on host.  The pull cannot
+    # complete before the result exists, so the wall is valid — pessimistic
+    # by one small-transfer RTT (tens of ms), noted in the record.
     ghosts = 0
+    check = None
+    timing = "async"
+    import jax.numpy as jnp
+    import numpy as _np
+
+    def _timed_pull():
+        best = float("inf")
+        chk = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            leaf = jax.tree_util.tree_leaves(run())[0]
+            chk = float(_np.asarray(jnp.sum(jnp.abs(leaf[:, :64]))))
+            best = min(best, time.perf_counter() - t0)
+        return best, chk
+
     while True:
         wall = _timed(run, reps, deadline, label)
         rate = steps_n / 48000.0 / wall
         if rate <= 2000.0:
             break
         ghosts += 1
+        sys.stderr.write(
+            f"[bench] {label}: ghost ack ({rate:.0f} audio-s/s); "
+            "switching to pull-timed walls\n"
+        )
+        wall, check = _timed_pull()
+        rate = steps_n / 48000.0 / wall
+        timing = "pull"
+        if rate <= 2000.0:
+            break
         if time.time() > deadline - 90.0:
             return {
                 "error": f"implausible_rate_{rate:.0f}_audio_s_per_s",
@@ -281,24 +310,24 @@ def bench_sim(B, length, bowed, deadline, reps=3):
                 "backend": "pallas" if use_pallas else "xla",
             }
         sys.stderr.write(
-            f"[bench] {label}: ghost ack ({rate:.0f} audio-s/s); "
-            f"retry {ghosts} in 60s\n"
+            f"[bench] {label}: pull-timed wall still implausible "
+            f"({rate:.0f} audio-s/s); retry {ghosts} in 60s\n"
         )
         time.sleep(60.0)
-    # materialization check: pull a scalar through the link so an acked-
-    # but-never-computed result can't be recorded (the pull forces real
-    # completion; NaN is legal for unstable draws, a hang is not)
-    import jax.numpy as jnp
-    import numpy as _np
-
-    leaf = jax.tree_util.tree_leaves(run())[0]
-    check = float(_np.asarray(jnp.sum(jnp.abs(leaf[:, :64]))))
+    if check is None:
+        # materialization check: pull a scalar through the link so an
+        # acked-but-never-computed result can't be recorded (the pull
+        # forces real completion; NaN is legal for unstable draws, a hang
+        # is not)
+        leaf = jax.tree_util.tree_leaves(run())[0]
+        check = float(_np.asarray(jnp.sum(jnp.abs(leaf[:, :64]))))
     out = {
         "audio_s_per_s": round(rate, 3),
         "string_steps_per_sec": round(steps_n / wall),
         "wall_s": round(wall, 4),
         "check_sum": round(check, 3),
         "backend": "pallas" if use_pallas else "xla",
+        "timing": timing,
     }
     if ghosts:
         out["ghost_retries"] = ghosts
