@@ -84,7 +84,14 @@ class DMSPCore(nn.Module):
 
         param = scale_function(nn.Dense(self.n_bands)(hidden) - 5.0)
         if self.amp_adaptive_noise:
-            env = jnp.sqrt(jnp.mean(coef_m**2, axis=-1, keepdims=True))
+            # eps under the sqrt: d/dx sqrt(x) is unbounded at 0 and
+            # nyquist-masked frames can zero the mean exactly — the round-5
+            # first launch NaN'd inside 50 steps without it.  stop_gradient
+            # makes the envelope pure conditioning: the noise loss must not
+            # reshape the modal branch through its own gain signal.
+            env = jax.lax.stop_gradient(
+                jnp.sqrt(jnp.mean(coef_m**2, axis=-1, keepdims=True) + 1e-12)
+            )
             s = self.param("noise_env_gain",
                            lambda *_: jnp.array(1.0, jnp.float32), ())
             # reference-scale continuity: the average envelope over the
