@@ -66,6 +66,14 @@ class DMSPCore(nn.Module):
     # per-frame modal amplitude envelope instead — physically, excitation
     # noise rides the excitation amplitude and decays with the string.
     amp_adaptive_noise: bool = False
+    # blend floor for the adaptive branch: noise level is
+    # (noise_floor + 50*s*env) x the parity level.  The round-5 pure
+    # adaptive run (floor 0) won sdr/logmag/f0 but lost si-sdr — all of
+    # the loss in the quietest p_a quartile, where removing the noise
+    # floor entirely backfired; a fixed floor keeps those items at a
+    # fraction of the parity noise while the louder quartiles keep the
+    # adaptive gains.
+    noise_floor: float = 0.0
 
     @nn.compact
     def __call__(self, hidden, mode_freq, mode_coef, times, alpha, omega, lengths):
@@ -97,7 +105,7 @@ class DMSPCore(nn.Module):
             # reference-scale continuity: the average envelope over the
             # nsynth corpus is O(1e-3), so seed the per-envelope gain high
             # enough that the branch starts near the parity noise level
-            param = param * (50.0 * s * env)
+            param = param * (self.noise_floor + 50.0 * s * env)
         impulse = amp_to_impulse_response(param, self.block_size)
         key = self.make_rng("noise")
         noise = (
@@ -173,6 +181,7 @@ class Synthesizer(nn.Module):
     # (models/physmodes.py) — exact to ~2e-5, no learned parameters
     mode_estimator: str = "mlp"
     amp_adaptive_noise: bool = False
+    noise_floor: float = 0.0
     x_scale: Sequence[float] = (0.0, 1.0)
     t_scale: Sequence[float] = (0.0, 0.3)
     gamma_scale: Sequence[float] = (196.0, 880.0)
@@ -279,6 +288,7 @@ class Synthesizer(nn.Module):
                 block_size=self.block_size,
                 sr=self.sr,
                 amp_adaptive_noise=self.amp_adaptive_noise,
+                noise_floor=self.noise_floor,
             )
         else:
             core = DDSPCore(

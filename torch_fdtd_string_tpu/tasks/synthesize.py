@@ -44,6 +44,7 @@ def build_model(args):
         ddsp_fm=bool(m.get("ddsp_frequency_modulation") or False),
         mode_estimator=str(m.get("mode_estimator") or "mlp"),
         amp_adaptive_noise=bool(m.get("amp_adaptive_noise") or False),
+        noise_floor=float(m.get("noise_floor") or 0.0),
         x_scale=tuple(m.x_scale),
         t_scale=tuple(m.t_scale),
         gamma_scale=tuple(m.gamma_scale),
