@@ -72,3 +72,42 @@ def test_use_snapshot_code_noop_without_snapshot(tmp_path):
     saved_path = list(sys.path)
     assert use_snapshot_code(str(tmp_path)) is False
     assert sys.path == saved_path
+
+
+def test_evaluate_delegates_to_snapshot_generation(tmp_path):
+    """Mixed-generation guard: when a snapshot is present, evaluate() must
+    run the SNAPSHOT's evaluate, not mix live module references with
+    snapshot lazy imports (observed: a run snapshotted before the
+    `noise_floor` field crashed when the live build_model passed the new
+    kwarg into the snapshot's Synthesizer)."""
+    from types import SimpleNamespace
+
+    from torch_fdtd_string_tpu.tasks import trainer as live_trainer
+
+    codes = tmp_path / "codes" / "torch_fdtd_string_tpu"
+    (codes / "tasks").mkdir(parents=True)
+    (codes / "__init__.py").write_text("")
+    (codes / "tasks" / "__init__.py").write_text("")
+    (codes / "tasks" / "trainer.py").write_text(
+        "import os\n"
+        "def evaluate(args, save_dir):\n"
+        "    open(os.path.join(save_dir, 'SNAPSHOT_EVAL_MARKER'), 'w')"
+        ".write('ran')\n"
+        "    return 'snapshot-generation'\n"
+    )
+
+    args = SimpleNamespace(task=SimpleNamespace(ckpt_dir=str(tmp_path)))
+    saved_path = list(sys.path)
+    saved_modules = {
+        k: v for k, v in sys.modules.items()
+        if k.startswith("torch_fdtd_string_tpu")
+    }
+    try:
+        out = live_trainer.evaluate(args, str(tmp_path))
+        assert out == "snapshot-generation"
+        assert (tmp_path / "SNAPSHOT_EVAL_MARKER").read_text() == "ran"
+    finally:
+        sys.path[:] = saved_path
+        for k in [m for m in sys.modules if m.startswith("torch_fdtd_string_tpu")]:
+            del sys.modules[k]
+        sys.modules.update(saved_modules)

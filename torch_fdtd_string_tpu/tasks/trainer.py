@@ -649,7 +649,22 @@ def evaluate(args, save_dir):
     import jax
 
     run_dir = args.task.ckpt_dir or save_dir
-    use_snapshot_code(run_dir)
+    if use_snapshot_code(run_dir):
+        # Delegate to the SNAPSHOT's own trainer module so every symbol
+        # resolves within one code generation.  This module object was
+        # imported from the live repo: its module-level references (S,
+        # Testset, ...) keep pointing at live-repo modules even after
+        # use_snapshot_code purges sys.modules, while lazy inner imports
+        # re-resolve to the snapshot — a mixed-generation crash when the
+        # model signature evolved since the run (observed: a run
+        # snapshotted before `noise_floor` scored with the live
+        # build_model passing the new kwarg into the snapshot's
+        # Synthesizer).
+        import importlib
+
+        snap = importlib.import_module(__name__)
+        if getattr(snap, "__file__", None) != __file__:
+            return snap.evaluate(args, save_dir)
 
     task = args.task
     model = S.build_model(args)
