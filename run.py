@@ -22,10 +22,20 @@ CONFIG_DIR = os.path.join(ROOT, "torch_fdtd_string_tpu", "configs")
 def backup_code(cwd, run_dir):
     """Snapshot the source tree into <run_dir>/codes (reference run.py:30-52),
     so inference can execute the exact code version that trained a model."""
-    exclude_dir = ["__pycache__", ".git", "results", "res", "data", "log", "check", "codes"]
+    exclude_dir = ["__pycache__", ".git", "results", "res", "log", "check",
+                   "codes", ".pytest_cache", ".hypothesis", ".worktrees"]
+    # "data" is excluded at the REPO ROOT only (reference parity: its
+    # data/ holds datasets) — torch_fdtd_string_tpu/data is a SOURCE
+    # subpackage and must snapshot, or the snapshot can't execute
+    # (scoring imports ..data.dataset from it)
+    root_only_exclude = ["data"]
     exclude_ext = [".png", ".jpg", ".pt", ".npz", ".ckpt", ".wav"]
     for dirpath, dirnames, filenames in os.walk(cwd, topdown=True):
-        dirnames[:] = [d for d in dirnames if d not in exclude_dir]
+        dirnames[:] = [
+            d for d in dirnames
+            if d not in exclude_dir
+            and not (dirpath == cwd and d in root_only_exclude)
+        ]
         rel = os.path.relpath(dirpath, cwd)
         for name in filenames:
             if os.path.splitext(name)[-1] in exclude_ext or name.endswith(".swp"):

@@ -25,6 +25,13 @@ def test_backup_code_snapshot_excludes(tmp_path):
     (src / "results").mkdir()
     (src / "results" / "big.txt").write_text("run artifact")
     (src / "pkg" / "weights.npz").write_bytes(b"\x00")
+    # "data" excluded at the root only: the package's data/ is SOURCE and
+    # must snapshot (round 5: scoring a snapshot without it crashed on
+    # `from ..data.dataset import ...`)
+    (src / "data").mkdir()
+    (src / "data" / "input.wav.txt").write_text("root dataset dir")
+    (src / "pkg" / "data").mkdir()
+    (src / "pkg" / "data" / "dataset.py").write_text("Y = 2\n")
 
     run_dir = tmp_path / "run"
     run_dir.mkdir()
@@ -37,6 +44,8 @@ def test_backup_code_snapshot_excludes(tmp_path):
     assert not (codes / "__pycache__").exists()
     assert not (codes / "results").exists()
     assert not (codes / "pkg" / "weights.npz").exists()
+    assert not (codes / "data").exists()
+    assert (codes / "pkg" / "data" / "dataset.py").read_text() == "Y = 2\n"
 
 
 def test_use_snapshot_code_executes_snapshot(tmp_path):
